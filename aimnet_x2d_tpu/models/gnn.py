@@ -1,0 +1,334 @@
+"""The GNN model (reference: src/models/gnn.py:19-780, TPU-native redesign).
+
+Architecture (forward walkthrough mirrors reference gnn.py:197-260):
+
+1. four int-feature embedding lookups → concat (A, 4·emb)
+2. embedding_projection → activation → split x_self (70%) / x_other (30%)
+   (quirk Q2: x_other_dim = int(0.3·hidden); reference gnn.py:100-101)
+3. L × [optional charge equilibration (Q3) → optional stereochemistry (Q6/Q7)
+   → shell convolution (Q1 parity) → residual add]
+4. concat [x_self, x_other] → concat_self_other       (atom-embedding tap)
+5. pooling → (B, H)                                   (mol-embedding tap)
+6. post_pooling_projection → FFN (skip MLP)
+7. concat [x, skip_transform(x)] → output_layer (B, T or 4T for evidential)
+
+Instead of the reference's forward hooks for embedding extraction
+(src/training/extractors.py), the pure function returns all intermediates in
+``GNNOutput``.
+
+Dead parameters kept for checkpoint/param-count parity when
+``parity_params=True``: ``long_range_projection`` (quirk Q5; reference
+gnn.py:146) and ``stereochemical_embedding`` (created at gnn.py:194 but
+never used in forward).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax import struct
+
+from ..data.batching import MolBatch
+from ..ops import segment_sum
+from ..utils.activation import get_activation_function
+from .layers import Linear, MultiLayerPerceptron, ShellConvolutionLayer
+from .pooling import MultiHeadAttentionPooling, max_pool, mean_pool, sum_pool
+
+# Feature index-space sizes = |vocabulary| + 1 OOV bucket
+# (reference: src/main/runner.py:665-670 and src/datasets/constants.py:9-18).
+DEFAULT_FEATURE_SIZES: Dict[str, int] = {
+    "atom_type": 119,  # atomic numbers 1..118 + OOV
+    "hydrogen_count": 9,  # 0..8 (capped)
+    "degree": 7,  # 0..5 + OOV
+    "hybridization": 7,  # 6 RDKit enums + OOV
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class GNNConfig:
+    """Static model configuration (mirrors reference GNN.__init__ args)."""
+
+    hidden_dim: int = 512
+    output_dim: int = 1
+    num_shells: int = 3
+    num_message_passing_layers: int = 3
+    embedding_dim: int = 64
+    ffn_hidden_dim: Optional[int] = None
+    ffn_num_layers: int = 3
+    ffn_dropout: float = 0.05
+    pooling_type: str = "attention"
+    task_type: str = "regression"
+    use_partial_charges: bool = False
+    use_stereochemistry: bool = False
+    activation_type: str = "silu"
+    shell_conv_num_mlp_layers: int = 2
+    shell_conv_dropout: float = 0.05
+    attention_num_heads: int = 4
+    attention_temperature: float = 1.0
+    loss_function: str = "l1"
+    # TPU-native extensions
+    parity_mode: bool = True  # reproduce Q1 hop-collapse semantics
+    parity_params: bool = True  # create the reference's dead params
+    feature_sizes: Tuple[Tuple[str, int], ...] = tuple(DEFAULT_FEATURE_SIZES.items())
+
+    @property
+    def x_other_dim(self) -> int:
+        return int(0.3 * self.hidden_dim)
+
+    @property
+    def x_self_dim(self) -> int:
+        return self.hidden_dim - self.x_other_dim
+
+    @property
+    def ffn_dim(self) -> int:
+        return self.ffn_hidden_dim if self.ffn_hidden_dim is not None else self.hidden_dim
+
+    @property
+    def final_output_dim(self) -> int:
+        return self.output_dim * 4 if self.loss_function == "evidential" else self.output_dim
+
+    def to_dict(self) -> Dict[str, Any]:
+        d = dataclasses.asdict(self)
+        d["feature_sizes"] = dict(self.feature_sizes)
+        return d
+
+    @staticmethod
+    def from_dict(d: Dict[str, Any]) -> "GNNConfig":
+        d = dict(d)
+        fs = d.get("feature_sizes", DEFAULT_FEATURE_SIZES)
+        if isinstance(fs, dict):
+            d["feature_sizes"] = tuple(fs.items())
+        known = {f.name for f in dataclasses.fields(GNNConfig)}
+        return GNNConfig(**{k: v for k, v in d.items() if k in known})
+
+
+class GNNOutput(struct.PyTreeNode):
+    predictions: jax.Array  # (B, T) or (B, 4T) raw outputs
+    attention_weights: Optional[jax.Array]  # (H, A) or None
+    partial_charges: Optional[jax.Array]  # (A,) or None
+    atom_embeddings: jax.Array  # (A, hidden) post concat_self_other
+    mol_embeddings: jax.Array  # (B, hidden) pooled
+
+
+def _xavier_embed_init(key, shape, dtype=jnp.float32):
+    # torch xavier_uniform_ on an Embedding weight (num, dim):
+    # fan_in = dim, fan_out = num → bound = sqrt(6/(num+dim)).
+    bound = (6.0 / (shape[0] + shape[1])) ** 0.5
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+class GNN(nn.Module):
+    config: GNNConfig
+
+    @nn.compact
+    def __call__(self, batch: MolBatch, *, deterministic: bool = True) -> GNNOutput:
+        cfg = self.config
+        act = get_activation_function(cfg.activation_type)
+        feature_sizes = dict(cfg.feature_sizes)
+        A = batch.atom_type.shape[0]
+        B = batch.total_charge.shape[0]
+
+        # 1. Embedding lookups (reference gnn.py:262-274)
+        embs = []
+        for name, field in (
+            ("atom_type_embedding", batch.atom_type),
+            ("hydrogen_count_embedding", batch.hydrogen_count),
+            ("degree_embedding", batch.degree),
+            ("hybridization_embedding", batch.hybridization),
+        ):
+            key = name.replace("_embedding", "")
+            table = self.param(name, _xavier_embed_init, (feature_sizes[key], cfg.embedding_dim))
+            embs.append(jnp.take(table, field, axis=0))
+        x = jnp.concatenate(embs, axis=-1)  # (A, 4*emb)
+
+        # 2. Project + split (reference gnn.py:224-231)
+        x = Linear(cfg.hidden_dim, init="xavier", name="embedding_projection")(x)
+        x = act(x)
+        x_self, x_other = jnp.split(x, [cfg.x_self_dim], axis=-1)
+
+        # Dead params for parity (Q5; reference gnn.py:146,194)
+        if cfg.parity_params:
+            Linear(cfg.ffn_dim, init="xavier", name="long_range_projection")(
+                jax.lax.stop_gradient(jnp.zeros((1, cfg.hidden_dim)))
+            )
+            if cfg.use_stereochemistry:
+                Linear(cfg.hidden_dim, init="xavier", name="stereochemical_embedding")(
+                    jax.lax.stop_gradient(jnp.zeros((1, cfg.hidden_dim * 3)))
+                )
+
+        # 3. Message passing (reference gnn.py:276-308)
+        # The stereochemical projection is a single module shared by every
+        # message-passing layer (reference gnn.py:195,327).
+        stereo_proj = (
+            Linear(cfg.x_other_dim, init="xavier", name="stereochemical_embedding_2")
+            if cfg.use_stereochemistry
+            else None
+        )
+        partial_charges = None
+        for layer_idx in range(cfg.num_message_passing_layers):
+            if cfg.use_partial_charges:
+                x_other = self._charge_equilibration(batch, x_other, B)
+            if cfg.use_stereochemistry:
+                x_other = self._stereochemistry(batch, x_other, A, stereo_proj)
+            layer = ShellConvolutionLayer(
+                dim=cfg.x_other_dim,
+                num_hops=cfg.num_shells,
+                dropout=cfg.shell_conv_dropout,
+                activation_type=cfg.activation_type,
+                num_mlp_layers=cfg.shell_conv_num_mlp_layers,
+                parity_mode=cfg.parity_mode,
+                name=f"message_passing_layers_{layer_idx}",
+            )
+            x_other = (
+                layer(
+                    x_other,
+                    batch.edge_src,
+                    batch.edge_dst,
+                    batch.edge_hop,
+                    batch.edge_mask,
+                    deterministic=deterministic,
+                )
+                + x_other
+            )
+
+        if cfg.use_partial_charges and cfg.x_other_dim >= 2:
+            partial_charges = x_other[:, 0]
+
+        # 4. Combine (reference gnn.py:245-246) — atom-embedding tap point
+        x_combined = jnp.concatenate([x_self, x_other], axis=-1)
+        atom_embeddings = Linear(cfg.hidden_dim, init="xavier", name="concat_self_other")(
+            x_combined
+        )
+
+        # 5. Pooling (reference gnn.py:249) — mol-embedding tap point
+        attention_weights = None
+        if cfg.pooling_type == "attention":
+            mol_embeddings, attention_weights = MultiHeadAttentionPooling(
+                num_heads=cfg.attention_num_heads,
+                initial_temperature=cfg.attention_temperature,
+                name="pooling",
+            )(
+                atom_embeddings,
+                batch.atom_mol,
+                batch.atom_mask,
+                B,
+                deterministic=deterministic,
+            )
+        elif cfg.pooling_type == "mean":
+            mol_embeddings = mean_pool(atom_embeddings, batch.atom_mol, batch.atom_mask, B)
+        elif cfg.pooling_type == "max":
+            mol_embeddings = max_pool(atom_embeddings, batch.atom_mol, batch.atom_mask, B)
+        elif cfg.pooling_type == "sum":
+            mol_embeddings = sum_pool(atom_embeddings, batch.atom_mol, batch.atom_mask, B)
+        else:
+            raise ValueError(f"Unsupported pooling type: {cfg.pooling_type}")
+
+        # 6. FFN (reference gnn.py:252-253)
+        h = Linear(cfg.ffn_dim, init="xavier", name="post_pooling_projection")(mol_embeddings)
+        h = MultiLayerPerceptron(
+            hidden_dim=cfg.ffn_dim,
+            output_dim=cfg.ffn_dim,
+            num_layers=cfg.ffn_num_layers,
+            activation_type=cfg.activation_type,
+            dropout=cfg.ffn_dropout,
+            use_skip=True,
+            name="ffn",
+        )(h, deterministic=deterministic)
+
+        # 7. Output with skip concat (reference gnn.py:256-258)
+        skip = Linear(cfg.ffn_dim, init="xavier", name="skip_transform")(h)
+        final = jnp.concatenate([h, skip], axis=-1)
+        predictions = Linear(cfg.final_output_dim, init="xavier", name="output_layer")(final)
+
+        return GNNOutput(
+            predictions=predictions,
+            attention_weights=attention_weights,
+            partial_charges=partial_charges,
+            atom_embeddings=atom_embeddings,
+            mol_embeddings=mol_embeddings,
+        )
+
+    # ------------------------------------------------------------------ #
+
+    def _charge_equilibration(self, batch: MolBatch, x_other: jax.Array, B: int) -> jax.Array:
+        """Partial-charge equilibration (Q3; reference gnn.py:622-658).
+
+        Channels 0/1 of x_other are charge q and electronegativity-like f;
+        per-molecule sums Q_u, F_u; correction q += (f/F_u)·(Q_total − Q_u).
+        """
+        q = x_other[:, :1]
+        f = jnp.clip(x_other[:, 1:2], min=1e-6)
+        rest = x_other[:, 2:]
+
+        seg = jnp.where(batch.atom_mask, batch.atom_mol, B)
+        mask = batch.atom_mask[:, None]
+        Q_u = segment_sum(jnp.where(mask, q, 0.0), seg, B)
+        F_u = segment_sum(jnp.where(mask, f, 0.0), seg, B) + 1e-6
+        F_u = jnp.clip(F_u, min=1e-6)
+
+        dQ = batch.total_charge[:, None] - Q_u
+        f_new = f / F_u[batch.atom_mol]
+        q_new = q + f_new * dQ[batch.atom_mol]
+        return jnp.concatenate([q_new, f_new, rest], axis=-1)
+
+    def _stereochemistry(
+        self, batch: MolBatch, x_other: jax.Array, A: int, proj: "Linear"
+    ) -> jax.Array:
+        """Stereochemistry injection (Q6/Q7; reference gnn.py:310-509)."""
+        cis_trans = self._cis_trans_features(batch, x_other, A)
+        tet = self._tetrahedral_features(batch, x_other, A)
+        x_cat = jnp.concatenate([x_other, cis_trans, tet], axis=-1)
+        return proj(x_cat)
+
+    def _cis_trans_features(self, batch: MolBatch, x: jax.Array, A: int) -> jax.Array:
+        """Cis/trans scatter: targets accumulate −source (cis) and +source
+        (trans) features (reference gnn.py:465-509).  The general scatter
+        path equals the reference's empty-input early return, so no special
+        case is needed."""
+        cis_src = jnp.where(batch.cis_mask[:, None], x[jnp.clip(batch.cis_pairs[:, 0], 0, A - 1)], 0.0)
+        trans_src = jnp.where(
+            batch.trans_mask[:, None], x[jnp.clip(batch.trans_pairs[:, 0], 0, A - 1)], 0.0
+        )
+        contrib = segment_sum(-cis_src, batch.cis_pairs[:, 1], A) + segment_sum(
+            trans_src, batch.trans_pairs[:, 1], A
+        )
+        return x + contrib
+
+    def _tetrahedral_features(self, batch: MolBatch, x: jax.Array, A: int) -> jax.Array:
+        """Tetrahedral chirality feature (reference gnn.py:387-462):
+        normalize the 4 neighbor embeddings, antisymmetric roll polynomial,
+        scale by tanh(mean‖emb‖/3), scatter-add into the neighbors, then
+        zero all atoms that are not neighbors of any chiral center.  If the
+        batch has no chiral centers the input is returned unchanged."""
+        nbrs = jnp.clip(batch.tet_nbrs, 0, A - 1)  # (C, 4)
+        emb_raw = x[nbrs]  # (C, 4, D)
+        mags = jnp.linalg.norm(emb_raw, axis=-1, keepdims=True)  # (C, 4, 1)
+        emb = emb_raw / jnp.maximum(mags, 1e-8)
+
+        squares = emb**2
+        s1 = jnp.roll(squares, -1, axis=1)
+        s2 = jnp.roll(squares, -2, axis=1)
+        s3 = jnp.roll(squares, -3, axis=1)
+        e1 = jnp.roll(emb, -1, axis=1)
+        e2 = jnp.roll(emb, -2, axis=1)
+        e3 = jnp.roll(emb, -3, axis=1)
+        chir = s1 * (e2 - e3) + s2 * (e3 - e1) + s3 * (e1 - e2)
+
+        scale = jnp.tanh(jnp.mean(mags, axis=1, keepdims=True) / 3.0)
+        chir = chir * scale
+        chir = jnp.where(batch.tet_mask[:, None, None], chir, 0.0)
+
+        flat_idx = jnp.where(
+            batch.tet_mask[:, None], batch.tet_nbrs, A
+        ).reshape(-1)
+        updated = x + segment_sum(chir.reshape(-1, x.shape[-1]), flat_idx, A)
+
+        counts = segment_sum(jnp.ones_like(flat_idx, jnp.float32), flat_idx, A)
+        zeroed = jnp.where((counts > 0)[:, None], updated, 0.0)
+
+        any_tet = jnp.any(batch.tet_mask)
+        return jnp.where(any_tet, zeroed, x)
