@@ -1,0 +1,240 @@
+"""Molecular featurization: SMILES → model-ready index arrays.
+
+Native equivalent of the reference's ``compute_all``
+(reference: src/datasets/features.py:153-334), producing identical feature
+semantics from our own SMILES parser:
+
+- explicit-H molecular graph (AddHs)
+- per-hop BFS edge lists: hop-1 = all directed adjacency pairs; hop-k edges
+  (u, w) are recorded once at the minimal hop, expanding the previous
+  frontier in edge space with the u != w backstep exclusion
+  (reference: src/datasets/features.py:97-150)
+- atom feature index arrays with OOV buckets: atomic number (1..118),
+  total H count (capped at 8), total degree (0..5), hybridization
+  (S/SP/SP2/SP3/SP3D/SP3D2) (reference: src/datasets/features.py:288-319,
+  src/datasets/constants.py:9-18)
+- chiral centers (assigned @/@@ plus potential centers via symmetry ranks)
+  as 4-neighbor index tuples
+- cis/trans double-bond stereo: 8 directed pairs per stereo bond — 4
+  same-side + 4 cross-side, both directions
+  (reference: src/datasets/features.py:220-283)
+- total formal charge, atomic-number array
+
+Behavior on invalid SMILES: returns None (like the reference's None for
+``MolFromSmiles`` failures), so dataset code can filter.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from ..data.batching import MolFeatures
+from . import smiles as sm
+
+# Index vocabularies (reference: src/datasets/constants.py:9-18)
+HYBRIDIZATIONS = ["S", "SP", "SP2", "SP3", "SP3D", "SP3D2"]
+NUM_ATOM_TYPES = 118
+NUM_DEGREES = 6
+MAX_H_COUNT = 8
+
+
+def parse_atomic_numbers(smiles_str: str) -> Optional[np.ndarray]:
+    """Atomic numbers after explicit-H expansion, or None if unparseable
+    (reference: src/datasets/features.py:25-35)."""
+    try:
+        mol = sm.parse_smiles(smiles_str)
+        mol = sm.add_hydrogens(mol)
+    except sm.SmilesError:
+        return None
+    return np.array([a.atomic_num for a in mol.atoms], dtype=np.int32)
+
+
+def multi_hop_edges(adj: List[List[int]], max_hops: int) -> List[np.ndarray]:
+    """Hop-by-hop directed edge lists via BFS in edge space.
+
+    Output list has exactly ``max_hops`` (2, E_h) int32 arrays.  Semantics
+    match the reference BFS (src/datasets/features.py:97-150): each ordered
+    pair (u, w) appears once, at its minimal hop; expansion excludes the
+    immediate backstep w == u but otherwise follows all frontier edges.
+    """
+    n = len(adj)
+    visited = np.zeros((n, n), dtype=bool)
+
+    hop1 = []
+    for v in range(n):
+        for w in adj[v]:
+            if not visited[v, w]:
+                visited[v, w] = True
+                hop1.append((v, w))
+    results = [np.array(hop1, np.int32).T.reshape(2, -1)]
+    frontier = hop1
+
+    for _ in range(1, max_hops):
+        new_edges = []
+        for (u, v) in frontier:
+            for w in adj[v]:
+                if w != u and not visited[u, w]:
+                    visited[u, w] = True
+                    new_edges.append((u, w))
+        if not new_edges:
+            break
+        results.append(np.array(new_edges, np.int32).T.reshape(2, -1))
+        frontier = new_edges
+
+    while len(results) < max_hops:
+        results.append(np.zeros((2, 0), np.int32))
+    return results
+
+
+def _find_chiral_centers(mol: sm.Molecule) -> List[int]:
+    """Assigned (@/@@) plus potential tetrahedral stereocenters.
+
+    Potential centers approximate RDKit's FindMolChiralCenters(
+    includeUnassigned=True): an atom with 4 neighbors whose symmetry ranks
+    (Morgan refinement) are pairwise distinct.  Documented deviation: full
+    CIP rules are not applied, so ranking ties in symmetric-but-CIP-distinct
+    environments may differ from RDKit.
+    """
+    ranks = sm.symmetry_ranks(mol)
+    centers = []
+    for idx, atom in enumerate(mol.atoms):
+        if atom.is_h:
+            continue
+        nbrs = mol.neighbors(idx)
+        if atom.chiral:
+            centers.append(idx)
+            continue
+        if len(nbrs) != 4:
+            continue
+        nbr_ranks = [ranks[j] for j in nbrs]
+        if len(set(nbr_ranks)) == 4:
+            centers.append(idx)
+    return centers
+
+
+def _double_bond_stereo(mol: sm.Molecule):
+    """Detect stereo double bonds from directional single bonds.
+
+    Returns list of (a, b, x, y, is_cis) where x (neighbor of a) and y
+    (neighbor of b) are the directional-bond partners and is_cis says
+    whether x and y are on the same side.
+    """
+    out = []
+    for bi, bond in enumerate(mol.bonds):
+        if bond.order != 2 or bond.aromatic:
+            continue
+        a, b = bond.a1, bond.a2
+
+        def _directional(atom_idx, other_idx):
+            for bj in mol.adjacency[atom_idx]:
+                nb = mol.bonds[bj]
+                if nb.order == 1 and nb.direction != 0:
+                    partner = nb.other(atom_idx)
+                    if partner == other_idx:
+                        continue
+                    # effective orientation sign as seen from atom_idx:
+                    # direction is recorded from nb.a1 to nb.a2 as written.
+                    sign = nb.direction if nb.a1 != atom_idx else -nb.direction
+                    return partner, sign
+            return None, 0
+
+        x, sx = _directional(a, b)
+        y, sy = _directional(b, a)
+        if x is None or y is None:
+            continue
+        # Signs are normalized so +1 means "the substituent sits below its
+        # double-bond atom" (bond rises toward the double-bond atom as
+        # written).  Equal signs ⇒ both substituents on the same side (cis):
+        # F/C=C/F gives sx=+1, sy=-1 (trans); F/C=C\\F gives +1,+1 (cis).
+        is_cis = sx == sy
+        out.append((a, b, x, y, is_cis))
+    return out
+
+
+def compute_features(smiles_str: str, max_hops: int) -> Optional[MolFeatures]:
+    """SMILES → MolFeatures, or None on parse failure.
+
+    Mirrors reference compute_all (src/datasets/features.py:153-334)."""
+    try:
+        mol0 = sm.parse_smiles(smiles_str)
+        mol = sm.add_hydrogens(mol0)
+    except sm.SmilesError:
+        return None
+
+    n = mol.num_atoms()
+    adj = [mol.neighbors(i) for i in range(n)]
+
+    # 1) multi-hop edges
+    edge_hops = multi_hop_edges(adj, max_hops)
+
+    # 2) atom feature indices
+    atom_type = np.empty(n, np.int32)
+    h_count = np.empty(n, np.int32)
+    degree = np.empty(n, np.int32)
+    hyb = np.empty(n, np.int32)
+    atomic_numbers = np.empty(n, np.int32)
+    for i, atom in enumerate(mol.atoms):
+        z = atom.atomic_num
+        atomic_numbers[i] = z
+        atom_type[i] = (z - 1) if 1 <= z <= NUM_ATOM_TYPES else NUM_ATOM_TYPES
+        n_h = sum(1 for j in adj[i] if mol.atoms[j].is_h)
+        h_count[i] = min(n_h, MAX_H_COUNT)
+        deg = len(adj[i])
+        degree[i] = deg if deg < NUM_DEGREES else NUM_DEGREES
+        hb = sm.hybridization(mol, i)
+        hyb[i] = HYBRIDIZATIONS.index(hb) if hb in HYBRIDIZATIONS else len(HYBRIDIZATIONS)
+
+    # 3) chiral centers → neighbor 4-tuples (reference features.py:213-218
+    # keeps all neighbor lists; 4-neighbor filtering happens at collate)
+    tet_rows = []
+    for c in _find_chiral_centers(mol):
+        nbrs = adj[c]
+        if len(nbrs) == 4:
+            tet_rows.append(nbrs)
+    tet_nbrs = np.array(tet_rows, np.int32).reshape(-1, 4) if tet_rows else np.zeros(
+        (0, 4), np.int32
+    )
+
+    # 4) cis/trans pairs: 8 directed pairs per stereo double bond
+    cis_list, trans_list = [], []
+    for (a, b, s_high, e_high, is_cis) in _double_bond_stereo(mol):
+        start_nbrs = [j for j in adj[a] if j != b]
+        end_nbrs = [j for j in adj[b] if j != a]
+        if len(set(start_nbrs + end_nbrs)) < 4:
+            continue
+        s_low_cands = [j for j in start_nbrs if j != s_high]
+        e_low_cands = [j for j in end_nbrs if j != e_high]
+        if not s_low_cands or not e_low_cands:
+            continue
+        s_low = min(s_low_cands, key=lambda j: mol.atoms[j].atomic_num)
+        e_low = min(e_low_cands, key=lambda j: mol.atoms[j].atomic_num)
+
+        same = [[s_high, e_high], [s_low, e_low], [e_high, s_high], [e_low, s_low]]
+        cross = [[s_high, e_low], [s_low, e_high], [e_low, s_high], [e_high, s_low]]
+        if is_cis:  # Z: stereo atoms same side
+            cis_list.extend(same)
+            trans_list.extend(cross)
+        else:  # E: stereo atoms opposite
+            trans_list.extend(same)
+            cis_list.extend(cross)
+
+    cis = np.array(cis_list, np.int32).reshape(-1, 2) if cis_list else np.zeros((0, 2), np.int32)
+    trans = (
+        np.array(trans_list, np.int32).reshape(-1, 2) if trans_list else np.zeros((0, 2), np.int32)
+    )
+
+    return MolFeatures(
+        edge_hops=edge_hops,
+        atom_type=atom_type,
+        hydrogen_count=h_count,
+        degree=degree,
+        hybridization=hyb,
+        tet_nbrs=tet_nbrs,
+        cis_pairs=cis,
+        trans_pairs=trans,
+        total_charge=float(sm.total_formal_charge(mol)),
+        atomic_numbers=atomic_numbers,
+        smiles=smiles_str,
+    )

@@ -1,0 +1,193 @@
+"""In-memory dataset + bucketed fixed-shape batch loader.
+
+Replaces the reference's PyG InMemoryDataset + ragged DataLoader
+(reference: src/datasets/molecular.py:18-99, src/datasets/loaders.py:10-45)
+with a design made for XLA: every yielded batch is a ``MolBatch`` padded to
+one of a small ladder of bucket shapes, so the jitted train step compiles a
+bounded number of times and then runs at fixed shape.
+
+Featurization runs in a host-side multiprocessing pool (the reference does
+the same with RDKit workers; reference: src/datasets/features.py:337-379)
+and invalid SMILES are dropped together with their targets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..chem.featurize import compute_features
+from .batching import MolBatch, MolFeatures, bucket_size, collate
+
+
+def featurize_many(
+    smiles: Sequence[str],
+    targets: np.ndarray,
+    max_hops: int,
+    num_workers: int = 0,
+) -> Tuple[List[str], np.ndarray, List[MolFeatures]]:
+    """Featurize SMILES in parallel; drop failures and their targets
+    (reference: src/datasets/features.py:337-379)."""
+    targets = np.asarray(targets, np.float32)
+    if targets.ndim == 1:
+        targets = targets[:, None]
+
+    if num_workers and num_workers > 1:
+        from multiprocessing import Pool
+
+        fn = partial(compute_features, max_hops=max_hops)
+        with Pool(num_workers) as pool:
+            results = pool.map(fn, smiles, chunksize=256)
+    else:
+        results = [compute_features(s, max_hops) for s in smiles]
+
+    keep_smiles, keep_targets, feats = [], [], []
+    for s, t, r in zip(smiles, targets, results):
+        if r is not None:
+            keep_smiles.append(s)
+            keep_targets.append(t)
+            feats.append(r)
+    return keep_smiles, np.asarray(keep_targets, np.float32), feats
+
+
+@dataclasses.dataclass
+class MoleculeDataset:
+    """Featurized molecules + (preprocessed) targets, ready to batch."""
+
+    smiles: List[str]
+    targets: np.ndarray  # (N, T) float32
+    features: List[MolFeatures]
+    max_hops: int
+
+    def __len__(self) -> int:
+        return len(self.features)
+
+    @property
+    def num_tasks(self) -> int:
+        return int(self.targets.shape[1])
+
+    @classmethod
+    def from_smiles(
+        cls,
+        smiles: Sequence[str],
+        targets: np.ndarray,
+        max_hops: int,
+        num_workers: int = 0,
+    ) -> "MoleculeDataset":
+        s, t, f = featurize_many(smiles, targets, max_hops, num_workers)
+        return cls(smiles=s, targets=t, features=f, max_hops=max_hops)
+
+    def atomic_numbers(self) -> List[np.ndarray]:
+        return [f.atomic_numbers for f in self.features]
+
+    def with_targets(self, targets: np.ndarray) -> "MoleculeDataset":
+        t = np.asarray(targets, np.float32)
+        if t.ndim == 1:
+            t = t[:, None]
+        assert len(t) == len(self.features)
+        return dataclasses.replace(self, targets=t)
+
+
+class BatchLoader:
+    """Yields padded MolBatch objects with bucketed static shapes.
+
+    ``fixed_shape=True`` (default for training) pads every batch to the
+    dataset-level caps so one compilation serves all batches;
+    ``fixed_shape=False`` buckets per batch (fewer pad slots, a handful of
+    shapes — fine for evaluation).
+    """
+
+    def __init__(
+        self,
+        dataset: MoleculeDataset,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        fixed_shape: bool = True,
+        drop_last: bool = False,
+        stack_devices: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.fixed_shape = fixed_shape
+        self.drop_last = drop_last
+        self.stack_devices = stack_devices
+        self._epoch = 0
+
+        atoms = np.array([f.num_atoms for f in dataset.features])
+        edges = np.array([f.num_edges for f in dataset.features])
+        # Static caps: batch_size molecules of p-max size, bucketed.  Using
+        # the true max keeps a hard guarantee (no overflow recompiles).
+        k = min(batch_size, len(atoms))
+        self.atom_slots = bucket_size(int(np.sort(atoms)[-k:].sum()) if len(atoms) else 8)
+        self.edge_slots = bucket_size(int(np.sort(edges)[-k:].sum()) if len(edges) else 8)
+        tets = np.array(
+            [f.tet_nbrs.shape[0] for f in dataset.features]
+        )
+        pairs = np.array(
+            [2 * max(f.cis_pairs.shape[0], f.trans_pairs.shape[0]) for f in dataset.features]
+        )
+        self.tet_slots = bucket_size(int(np.sort(tets)[-k:].sum()) + 1 if len(tets) else 8)
+        self.pair_slots = bucket_size(int(np.sort(pairs)[-k:].sum()) + 1 if len(pairs) else 8)
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        b = self.batch_size * max(1, self.stack_devices)
+        return n // b if self.drop_last else math.ceil(n / b)
+
+    def _batch_indices(self) -> List[np.ndarray]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+        b = self.batch_size * max(1, self.stack_devices)
+        chunks = [order[i : i + b] for i in range(0, n, b)]
+        if self.drop_last and chunks and len(chunks[-1]) < b:
+            chunks.pop()
+        return chunks
+
+    def _collate(self, idx: np.ndarray) -> MolBatch:
+        mols = [self.dataset.features[i] for i in idx]
+        targets = self.dataset.targets[idx]
+        kw = {}
+        if self.fixed_shape:
+            kw = dict(
+                atom_slots=self.atom_slots,
+                edge_slots=self.edge_slots,
+                tet_slots=self.tet_slots,
+                pair_slots=self.pair_slots,
+            )
+        return collate(
+            mols,
+            targets,
+            num_hops=self.dataset.max_hops,
+            graph_slots=self.batch_size,
+            **kw,
+        )
+
+    def __iter__(self) -> Iterator[MolBatch]:
+        for idx in self._batch_indices():
+            if self.stack_devices:
+                # Split across devices and stack on a leading device axis
+                # for shard_map data parallelism; short shards are padded
+                # with empty batches (all masks False).
+                shards = []
+                per = self.batch_size
+                for d in range(self.stack_devices):
+                    sub = idx[d * per : (d + 1) * per]
+                    shards.append(self._collate(sub))
+                import jax
+
+                yield jax.tree_util.tree_map(lambda *xs: np.stack(xs), *shards)
+            else:
+                yield self._collate(idx)

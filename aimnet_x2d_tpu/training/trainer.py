@@ -1,0 +1,277 @@
+"""Training loop (reference: src/training/trainer.py:102-474, redesigned).
+
+TPU-native structure:
+- one jitted train step (value_and_grad → global-norm clip 1.0 → Adam),
+  compiled once per bucket shape; the LR is passed as data so host-side
+  schedulers (torch-semantics, see schedulers.py) never trigger recompiles;
+- data parallelism is a shard_map over the mesh 'data'/'graph' axes with
+  sample-count-weighted psum of loss and grads — the DDP replacement
+  (reference: src/utils/distributed.py, src/training/trainer.py:173-181);
+- early stopping tracks best val loss on host; best params are kept as a
+  device copy and restored at the end (the reference holds a CPU state_dict
+  on rank 0 and broadcasts; with replicated jax params a copy suffices);
+- transfer learning: pretrained params passed in are *used as-is* — the
+  reference accidentally re-initializes weights inside train_gnn (quirk Q4,
+  reference src/training/trainer.py:205-209); we fix that and document the
+  deviation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..data.batching import MolBatch
+from ..data.dataset import BatchLoader
+from ..models.gnn import GNN
+from ..models.losses import create_loss_function
+from .evaluator import evaluate
+from .schedulers import create_scheduler
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    epochs: int = 50
+    learning_rate: float = 0.00025
+    loss_function: str = "l1"
+    task_type: str = "regression"
+    multitask_weights: Optional[Sequence[float]] = None
+    evidential_lambda: float = 1.0
+    grad_clip: float = 1.0
+    early_stopping: bool = False
+    patience: int = 25
+    lr_scheduler: str = "ReduceLROnPlateau"
+    lr_reduce_factor: float = 0.5
+    lr_patience: int = 10
+    lr_cosine_t_max: int = 10
+    lr_step_size: int = 10
+    lr_step_gamma: float = 0.1
+    lr_exp_gamma: float = 0.95
+    layer_wise_lr_decay: bool = False
+    lr_decay_factor: float = 0.8
+    log_every: int = 0  # epochs between prints; 0 = every epoch
+
+
+@dataclasses.dataclass
+class TrainResult:
+    params: Any
+    best_val_loss: float
+    best_epoch: int
+    history: List[Dict[str, float]]
+    avg_epoch_seconds: float
+
+
+def _param_depth(path) -> int:
+    """Name depth ≈ the reference's dot-count layer-wise LR grouping
+    (reference: src/utils/optimization.py:9-58)."""
+    return max(len(path) - 1, 0)
+
+
+def make_optimizer(config: TrainConfig, params=None) -> optax.GradientTransformation:
+    """Global-norm clip + Adam; LR is applied separately inside the step so
+    schedulers are free.  With layer_wise_lr_decay, per-leaf scale factors
+    decay with parameter name depth like the reference."""
+    chain = [optax.clip_by_global_norm(config.grad_clip), optax.scale_by_adam()]
+    if config.layer_wise_lr_decay and params is not None:
+        depths = jax.tree_util.tree_map_with_path(
+            lambda path, _: config.lr_decay_factor ** _param_depth(path), params
+        )
+        chain.append(
+            optax.GradientTransformation(
+                init=lambda p: optax.EmptyState(),
+                update=lambda u, s, p=None: (
+                    jax.tree_util.tree_map(lambda g, d: g * d, u, depths),
+                    s,
+                ),
+            )
+        )
+    chain.append(optax.scale(-1.0))
+    return optax.chain(*chain)
+
+
+def make_loss_fn(model: GNN, config: TrainConfig) -> Callable:
+    base = create_loss_function(
+        config.loss_function,
+        config.task_type,
+        config.multitask_weights,
+        lambda_reg=config.evidential_lambda,
+    )
+
+    def loss_fn(params, batch: MolBatch, dropout_rng=None):
+        kwargs = {}
+        if dropout_rng is not None:
+            kwargs = {"rngs": {"dropout": dropout_rng}}
+        out = model.apply(
+            params, batch, deterministic=dropout_rng is None, **kwargs
+        )
+        return base(out.predictions, batch.targets, batch.graph_mask)
+
+    return loss_fn
+
+
+def make_train_step(
+    model: GNN,
+    config: TrainConfig,
+    optimizer: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+) -> Callable:
+    """Build the jitted train step.
+
+    Signature: step(params, opt_state, batch, lr, rng) -> (params,
+    opt_state, loss_mean, n_real).  With a mesh, ``batch`` is a stacked
+    (n_devices, ...) pytree from BatchLoader(stack_devices=N) and the step
+    is shard_mapped with psum grad reduction over both mesh axes.
+    """
+    loss_fn = make_loss_fn(model, config)
+
+    def local_grads(params, batch, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+        n = jnp.sum(batch.graph_mask).astype(jnp.float32)
+        # weight by local real-sample count so the global mean is exact
+        grads = jax.tree_util.tree_map(lambda g: g * n, grads)
+        return loss * n, grads, n
+
+    def apply_update(params, opt_state, grads, lr):
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
+        return optax.apply_updates(params, updates), opt_state
+
+    if mesh is None:
+
+        @jax.jit
+        def step(params, opt_state, batch, lr, rng):
+            loss_sum, grads, n = local_grads(params, batch, rng)
+            n = jnp.maximum(n, 1.0)
+            grads = jax.tree_util.tree_map(lambda g: g / n, grads)
+            params, opt_state = apply_update(params, opt_state, grads, lr)
+            return params, opt_state, loss_sum / n, n
+
+        return step
+
+    shard_map = jax.shard_map
+
+    axes = ("data", "graph")
+
+    def sharded(params, opt_state, batch, lr, rng):
+        local_batch = jax.tree_util.tree_map(lambda x: x[0], batch)
+        # decorrelate dropout across devices
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axes[0]))
+        loss_sum, grads, n = local_grads(params, local_batch, rng)
+        loss_sum = jax.lax.psum(loss_sum, axes)
+        grads = jax.lax.psum(grads, axes)
+        n = jnp.maximum(jax.lax.psum(n, axes), 1.0)
+        grads = jax.tree_util.tree_map(lambda g: g / n, grads)
+        params, opt_state = apply_update(params, opt_state, grads, lr)
+        return params, opt_state, loss_sum / n, n
+
+    step = shard_map(
+        sharded,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axes), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+    )
+    return jax.jit(step)
+
+
+def train(
+    model: GNN,
+    params,
+    train_loader: BatchLoader,
+    val_loader: BatchLoader,
+    config: TrainConfig,
+    *,
+    mesh: Optional[Mesh] = None,
+    rng: Optional[jax.Array] = None,
+    pipeline=None,
+    verbose: bool = True,
+) -> TrainResult:
+    """Epoch loop with validation, LR scheduling, early stopping, and
+    best-model restore (reference: src/training/trainer.py:185-474)."""
+    optimizer = make_optimizer(config, params)
+    opt_state = optimizer.init(params)
+    step = make_train_step(model, config, optimizer, mesh)
+    scheduler = create_scheduler(
+        config.lr_scheduler,
+        config.learning_rate,
+        lr_reduce_factor=config.lr_reduce_factor,
+        lr_patience=config.lr_patience,
+        lr_cosine_t_max=config.lr_cosine_t_max,
+        lr_step_size=config.lr_step_size,
+        lr_step_gamma=config.lr_step_gamma,
+        lr_exp_gamma=config.lr_exp_gamma,
+    )
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    best_val = float("inf")
+    best_epoch = -1
+    best_params = params
+    epochs_no_improve = 0
+    history: List[Dict[str, float]] = []
+    lr = config.learning_rate
+    epoch_times: List[float] = []
+
+    for epoch in range(config.epochs):
+        t0 = time.time()
+        train_loader.set_epoch(epoch)
+        loss_sum = 0.0
+        n_sum = 0.0
+        for batch in train_loader:
+            rng, dropout_rng = jax.random.split(rng)
+            params, opt_state, loss, n = step(
+                params, opt_state, batch, jnp.float32(lr), dropout_rng
+            )
+            nf = float(n)
+            loss_sum += float(loss) * nf
+            n_sum += nf
+        train_loss = loss_sum / max(n_sum, 1.0)
+
+        val_metrics = evaluate(
+            model, params, val_loader, config=config, pipeline=pipeline, mesh=mesh
+        )
+        val_loss = val_metrics["loss"]
+        lr = scheduler.step(epoch, val_loss)
+        dt = time.time() - t0
+        epoch_times.append(dt)
+
+        history.append(
+            {
+                "epoch": epoch,
+                "train_loss": train_loss,
+                "val_loss": val_loss,
+                "lr": lr,
+                "seconds": dt,
+                **{f"val_{k}": v for k, v in val_metrics.items() if k != "loss"},
+            }
+        )
+        if verbose and (config.log_every == 0 or epoch % config.log_every == 0):
+            print(
+                f"[epoch {epoch:3d}] train {train_loss:.5f}  val {val_loss:.5f}  "
+                f"lr {lr:.2e}  ({dt:.1f}s)"
+            )
+
+        if val_loss < best_val:
+            best_val = val_loss
+            best_epoch = epoch
+            best_params = jax.tree_util.tree_map(jnp.copy, params)
+            epochs_no_improve = 0
+        else:
+            epochs_no_improve += 1
+            if config.early_stopping and epochs_no_improve >= config.patience:
+                if verbose:
+                    print(f"[early stop] epoch {epoch}, best {best_val:.5f} @ {best_epoch}")
+                break
+
+    return TrainResult(
+        params=best_params,
+        best_val_loss=best_val,
+        best_epoch=best_epoch,
+        history=history,
+        avg_epoch_seconds=float(np.mean(epoch_times)) if epoch_times else 0.0,
+    )
