@@ -37,10 +37,14 @@ def featurize_many(
         targets = targets[:, None]
 
     if num_workers and num_workers > 1:
-        from multiprocessing import Pool
+        # fork is unsafe once JAX's thread pools exist; use forkserver/spawn
+        import multiprocessing as mp
 
+        ctx = mp.get_context(
+            "forkserver" if "forkserver" in mp.get_all_start_methods() else "spawn"
+        )
         fn = partial(compute_features, max_hops=max_hops)
-        with Pool(num_workers) as pool:
+        with ctx.Pool(num_workers) as pool:
             results = pool.map(fn, smiles, chunksize=256)
     else:
         results = [compute_features(s, max_hops) for s in smiles]

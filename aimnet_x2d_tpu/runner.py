@@ -1,0 +1,246 @@
+"""Experiment orchestrator (reference: src/main/runner.py:63-1222).
+
+``main_runner(args)`` drives the full pipeline: seed → validate → branch
+inference/training; the training branch loads CSVs, featurizes on the host
+pool, fits preprocessing on train only, builds bucketed loaders (+ a device
+mesh when num_devices > 1), trains with early stopping, evaluates on test,
+saves the self-describing artifact, and optionally extracts embeddings and
+partial charges.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from .checkpoint import load_artifact, save_artifact, transfer_params
+from .cli import parse_arguments
+from .config import setup_paths, save_experiment_config, validate_args
+from .data import PreprocessingConfig, PreprocessingPipeline
+from .data.dataset import BatchLoader, MoleculeDataset
+from .data.io import load_dataset, split_dataset
+from .models import GNN, GNNConfig
+from .parallel import create_mesh
+from .training import TrainConfig, evaluate, train
+from .training.predictor import extract_partial_charges, predict
+from .utils import set_seed
+
+
+def gnn_config_from_args(args: argparse.Namespace, output_dim: int) -> GNNConfig:
+    return GNNConfig(
+        hidden_dim=args.hidden_dim,
+        output_dim=output_dim,
+        num_shells=args.num_shells,
+        num_message_passing_layers=args.num_message_passing_layers,
+        embedding_dim=args.embedding_dim,
+        ffn_hidden_dim=args.ffn_hidden_dim,
+        ffn_num_layers=args.ffn_num_layers,
+        ffn_dropout=args.ffn_dropout,
+        pooling_type=args.pooling_type,
+        task_type=args.task_type,
+        use_partial_charges=args.use_partial_charges,
+        use_stereochemistry=args.use_stereochemistry,
+        activation_type=args.activation_type,
+        shell_conv_num_mlp_layers=args.shell_conv_num_mlp_layers,
+        shell_conv_dropout=args.shell_conv_dropout,
+        attention_num_heads=args.attention_num_heads,
+        attention_temperature=args.attention_temperature,
+        loss_function=args.loss_function,
+        parity_mode=not getattr(args, "true_multi_hop", False),
+    )
+
+
+def train_config_from_args(args: argparse.Namespace) -> TrainConfig:
+    return TrainConfig(
+        epochs=args.epochs,
+        learning_rate=args.learning_rate,
+        loss_function=args.loss_function,
+        task_type=args.task_type,
+        multitask_weights=args.multitask_weight_list,
+        evidential_lambda=args.evidential_lambda,
+        early_stopping=args.early_stopping,
+        patience=args.patience,
+        lr_scheduler=args.lr_scheduler,
+        lr_reduce_factor=args.lr_reduce_factor,
+        lr_patience=args.lr_patience,
+        lr_cosine_t_max=args.lr_cosine_t_max,
+        lr_step_size=args.lr_step_size,
+        lr_step_gamma=args.lr_step_gamma,
+        lr_exp_gamma=args.lr_exp_gamma,
+        layer_wise_lr_decay=args.layer_wise_lr_decay,
+        lr_decay_factor=args.lr_decay_factor,
+        freeze_patterns=args.freeze_layer_list if args.freeze_pretrained or args.freeze_layer_list else None,
+        unfreeze_patterns=args.unfreeze_layer_list,
+    )
+
+
+def _load_splits(args) -> Tuple[Tuple, Tuple, Tuple, int]:
+    kwargs = dict(
+        smiles_column=args.smiles_column,
+        target_column=args.target_column,
+        multi_target_columns=args.multi_target_list,
+    )
+    if args.data_path is not None:
+        smiles, targets = load_dataset(args.data_path, **kwargs)
+        (tr, va, te) = split_dataset(
+            smiles, targets, args.train_split, args.val_split, args.test_split,
+            seed=args.seed,
+        )
+    else:
+        tr = load_dataset(args.train_data, **kwargs)
+        va = load_dataset(args.val_data, **kwargs)
+        te = load_dataset(args.test_data, **kwargs)
+    return tr, va, te, tr[1].shape[1]
+
+
+def _run_training(args: argparse.Namespace) -> Dict[str, Any]:
+    t_start = time.time()
+    (tr_s, tr_t), (va_s, va_t), (te_s, te_t), num_tasks = _load_splits(args)
+    print(f"[data] train {len(tr_s)}  val {len(va_s)}  test {len(te_s)}  tasks {num_tasks}")
+
+    workers = args.precompute_num_workers
+    train_ds = MoleculeDataset.from_smiles(tr_s, tr_t, args.num_shells, workers)
+    val_ds = MoleculeDataset.from_smiles(va_s, va_t, args.num_shells, workers)
+    test_ds = MoleculeDataset.from_smiles(te_s, te_t, args.num_shells, workers)
+    print(
+        f"[featurize] kept train {len(train_ds)}/{len(tr_s)}  "
+        f"val {len(val_ds)}/{len(va_s)}  test {len(test_ds)}/{len(te_s)}"
+    )
+
+    pipe = PreprocessingPipeline(
+        PreprocessingConfig(
+            apply_sae=args.calculate_sae,
+            sae_subtasks=args.sae_subtask_list,
+            apply_standard_scaling=True,
+            task_type=args.task_type,
+        )
+    )
+    pipe.fit(train_ds.atomic_numbers(), train_ds.targets)
+    train_ds = train_ds.with_targets(pipe.transform(train_ds.atomic_numbers(), train_ds.targets))
+    val_ds = val_ds.with_targets(pipe.transform(val_ds.atomic_numbers(), val_ds.targets))
+    test_ds = test_ds.with_targets(pipe.transform(test_ds.atomic_numbers(), test_ds.targets))
+
+    n_dev = args.num_devices or 1
+    mesh = create_mesh(num_data=n_dev, num_graph=1) if n_dev > 1 else None
+    stack = n_dev if mesh is not None else 0
+    train_loader = BatchLoader(
+        train_ds, args.batch_size, shuffle=True, seed=args.seed, stack_devices=stack
+    )
+    val_loader = BatchLoader(val_ds, args.batch_size * max(1, n_dev))
+    test_loader = BatchLoader(test_ds, args.batch_size * max(1, n_dev))
+
+    cfg = gnn_config_from_args(args, num_tasks)
+    model = GNN(cfg)
+    rng = set_seed(args.seed)
+    init_batch = next(iter(train_loader))
+    if stack:
+        init_batch = jax.tree_util.tree_map(lambda x: x[0], init_batch)
+    params = model.init(rng, init_batch)
+
+    if args.transfer_learning:
+        art = load_artifact(args.transfer_learning)
+        params, _, _ = transfer_params(art.params, params)
+
+    tc = train_config_from_args(args)
+    result = train(
+        model, params, train_loader, val_loader, tc, mesh=mesh, pipeline=pipe,
+        rng=jax.random.PRNGKey(args.seed),
+    )
+
+    test_metrics = evaluate(
+        model, result.params, test_loader, config=tc, pipeline=pipe, mesh=mesh
+    )
+    print(
+        f"[test] loss {test_metrics['loss']:.5f}  mae {test_metrics['mae']:.5f}  "
+        f"rmse {test_metrics['rmse']:.5f}  r2 {test_metrics['r2']:.4f}"
+    )
+
+    save_artifact(
+        args.model_save_path,
+        result.params,
+        cfg,
+        pipe,
+        extra={
+            "task_type": args.task_type,
+            "target_columns": args.multi_target_list or [args.target_column],
+            "best_val_loss": result.best_val_loss,
+            "best_epoch": result.best_epoch,
+            "test_metrics": {
+                k: v for k, v in test_metrics.items() if not isinstance(v, dict)
+            },
+            "max_hops": args.num_shells,
+        },
+    )
+    print(f"[artifact] saved to {args.model_save_path}")
+
+    if args.experiment_config:
+        save_experiment_config(args, args.experiment_config)
+
+    if args.save_embeddings:
+        _extract_embeddings(args, model, result.params,
+                            [("train", train_ds), ("val", val_ds), ("test", test_ds)])
+
+    if args.output_partial_charges and args.use_partial_charges:
+        charges, mol_idx = extract_partial_charges(model, result.params, test_loader)
+        np.savez(args.output_partial_charges, charges=charges, molecule_index=mol_idx)
+        print(f"[charges] saved to {args.output_partial_charges}")
+
+    return {
+        "best_val_loss": result.best_val_loss,
+        "best_epoch": result.best_epoch,
+        "test_metrics": test_metrics,
+        "params": result.params,
+        "avg_epoch_seconds": result.avg_epoch_seconds,
+        "total_seconds": time.time() - t_start,
+    }
+
+
+def _extract_embeddings(args, model, params, named_datasets) -> None:
+    """Mol (+ atom) embeddings for every split → one HDF5 file
+    (reference: src/training/extractors.py:278-465)."""
+    import h5py
+
+    with h5py.File(args.embeddings_output_path, "w") as f:
+        for name, ds in named_datasets:
+            loader = BatchLoader(ds, args.batch_size)
+            res = predict(model, params, loader, return_embeddings=True)
+            grp = f.create_group(name)
+            grp.create_dataset("mol_embeddings", data=res["mol_embeddings"])
+            grp.create_dataset(
+                "smiles",
+                data=np.array(ds.smiles, dtype=h5py.special_dtype(vlen=str)),
+            )
+            if args.include_atom_embeddings:
+                grp.create_dataset("atom_embeddings", data=res["atom_embeddings"])
+                grp.create_dataset("atom_mol_index", data=res["atom_mol_index"])
+    print(f"[embeddings] saved to {args.embeddings_output_path}")
+
+
+def main_runner(args: argparse.Namespace) -> Dict[str, Any]:
+    warnings = validate_args(args)
+    for w in warnings:
+        print(f"[warning] {w}")
+    setup_paths(args)
+    set_seed(args.seed)
+
+    if args.is_inference:
+        from .inference.engine import inference_main
+
+        return inference_main(args)
+    return _run_training(args)
+
+
+def main(argv=None) -> int:
+    args = parse_arguments(argv)
+    if args.hyperparameter_file and args.num_trials > 1:
+        from .hyperopt import run_hyperparameter_optimization
+
+        run_hyperparameter_optimization(args)
+        return 0
+    main_runner(args)
+    return 0

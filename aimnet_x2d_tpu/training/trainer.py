@@ -56,6 +56,8 @@ class TrainConfig:
     lr_exp_gamma: float = 0.95
     layer_wise_lr_decay: bool = False
     lr_decay_factor: float = 0.8
+    freeze_patterns: Optional[Sequence[str]] = None  # freeze matching leaves
+    unfreeze_patterns: Optional[Sequence[str]] = None  # train ONLY matching
     log_every: int = 0  # epochs between prints; 0 = every epoch
 
 
@@ -79,6 +81,22 @@ def make_optimizer(config: TrainConfig, params=None) -> optax.GradientTransforma
     schedulers are free.  With layer_wise_lr_decay, per-leaf scale factors
     decay with parameter name depth like the reference."""
     chain = [optax.clip_by_global_norm(config.grad_clip), optax.scale_by_adam()]
+    if params is not None and (config.freeze_patterns or config.unfreeze_patterns):
+        from ..utils.optimization import freeze_mask
+
+        if config.unfreeze_patterns:
+            mask = freeze_mask(params, config.unfreeze_patterns, freeze=False)
+        else:
+            mask = freeze_mask(params, config.freeze_patterns, freeze=True)
+        chain.append(
+            optax.GradientTransformation(
+                init=lambda p: optax.EmptyState(),
+                update=lambda u, s, p=None: (
+                    jax.tree_util.tree_map(lambda g, m: g * m, u, mask),
+                    s,
+                ),
+            )
+        )
     if config.layer_wise_lr_decay and params is not None:
         depths = jax.tree_util.tree_map_with_path(
             lambda path, _: config.lr_decay_factor ** _param_depth(path), params
