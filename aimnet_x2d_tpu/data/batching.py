@@ -303,6 +303,45 @@ def collate(
     )
 
 
+def shard_edges(batch: MolBatch, num_shards: int) -> list:
+    """Split a batch's edges into ``num_shards`` contiguous slices for
+    edge-partitioned execution (atoms/graphs/stereo replicated per shard).
+
+    Each shard sees the full atom set but 1/num_shards of the edges; under
+    shard_map the partial neighborhood sums are psum'd over the 'graph'
+    mesh axis (ShellConvolutionLayer.graph_axis).  Edge count is padded to
+    a multiple of ``num_shards``.
+    """
+    E = batch.edge_src.shape[0]
+    A = batch.num_atom_slots
+    per = -(-E // num_shards)
+    E_pad = per * num_shards
+
+    def _pad_edge(arr, fill):
+        if E_pad == E:
+            return arr
+        return np.pad(arr, (0, E_pad - E), constant_values=fill)
+
+    src = _pad_edge(batch.edge_src, 0)
+    dst = _pad_edge(batch.edge_dst, A)
+    hop = _pad_edge(batch.edge_hop, 0)
+    mask = _pad_edge(batch.edge_mask, False)
+
+    shards = []
+    for s in range(num_shards):
+        sl = slice(s * per, (s + 1) * per)
+        shards.append(
+            dataclasses.replace(
+                batch,
+                edge_src=src[sl],
+                edge_dst=dst[sl],
+                edge_hop=hop[sl],
+                edge_mask=mask[sl],
+            )
+        )
+    return shards
+
+
 def pad_batch(batch: MolBatch, *, atom_slots: int, edge_slots: int, graph_slots: int) -> MolBatch:
     """Re-pad an existing batch to larger static slot counts."""
     A0, E0, B0 = batch.num_atom_slots, batch.edge_src.shape[0], batch.num_graph_slots

@@ -114,6 +114,7 @@ class BatchLoader:
         fixed_shape: bool = True,
         drop_last: bool = False,
         stack_devices: int = 0,
+        edge_shards: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -122,6 +123,7 @@ class BatchLoader:
         self.fixed_shape = fixed_shape
         self.drop_last = drop_last
         self.stack_devices = stack_devices
+        self.edge_shards = edge_shards
         self._epoch = 0
 
         atoms = np.array([f.num_atoms for f in dataset.features])
@@ -184,14 +186,23 @@ class BatchLoader:
             if self.stack_devices:
                 # Split across devices and stack on a leading device axis
                 # for shard_map data parallelism; short shards are padded
-                # with empty batches (all masks False).
+                # with empty batches (all masks False).  With edge_shards>1
+                # each data shard is additionally edge-partitioned, giving
+                # leading dims (stack_devices, edge_shards) matching a
+                # ('data', 'graph') mesh.
+                import jax
+
+                from .batching import shard_edges
+
                 shards = []
                 per = self.batch_size
                 for d in range(self.stack_devices):
                     sub = idx[d * per : (d + 1) * per]
-                    shards.append(self._collate(sub))
-                import jax
-
+                    b = self._collate(sub)
+                    if self.edge_shards > 1:
+                        parts = shard_edges(b, self.edge_shards)
+                        b = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *parts)
+                    shards.append(b)
                 yield jax.tree_util.tree_map(lambda *xs: np.stack(xs), *shards)
             else:
                 yield self._collate(idx)

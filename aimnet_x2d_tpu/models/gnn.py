@@ -73,6 +73,9 @@ class GNNConfig:
     # TPU-native extensions
     parity_mode: bool = True  # reproduce Q1 hop-collapse semantics
     parity_params: bool = True  # create the reference's dead params
+    # Edge-partitioned execution: name of the mesh axis over which edges are
+    # sharded (atoms replicated; partial aggregations psum'd per MP layer).
+    graph_axis: Optional[str] = None
     feature_sizes: Tuple[Tuple[str, int], ...] = tuple(DEFAULT_FEATURE_SIZES.items())
 
     @property
@@ -181,6 +184,7 @@ class GNN(nn.Module):
                 activation_type=cfg.activation_type,
                 num_mlp_layers=cfg.shell_conv_num_mlp_layers,
                 parity_mode=cfg.parity_mode,
+                graph_axis=cfg.graph_axis,
                 name=f"message_passing_layers_{layer_idx}",
             )
             x_other = (

@@ -88,6 +88,11 @@ class ShellConvolutionLayer(nn.Module):
     activation_type: str = "silu"
     num_mlp_layers: int = 2
     parity_mode: bool = True
+    # When set (edge-partitioned execution under shard_map), each device
+    # holds the full atom features but only a shard of the edges; the local
+    # partial aggregation is summed over this mesh axis so every device sees
+    # the full neighborhood sum.  The dense compute stays replicated.
+    graph_axis: str | None = None
 
     @nn.compact
     def __call__(
@@ -131,6 +136,8 @@ class ShellConvolutionLayer(nn.Module):
             # identically zero, so only the first 2D rows of the kernels see
             # data — compute just those rows.
             agg = segment_sum(src_feat, edge_dst, A)
+            if self.graph_axis is not None:
+                agg = jax.lax.psum(agg, self.graph_axis)
             inp = jnp.concatenate([x, agg], axis=-1)  # (A, 2D)
             used = 2 * D
         else:
@@ -138,6 +145,8 @@ class ShellConvolutionLayer(nn.Module):
             # by (hop-1)*A + dst, then unstack per hop.
             flat_idx = jnp.where(edge_mask, (edge_hop - 1) * A + edge_dst, K * A)
             agg = segment_sum(src_feat, flat_idx, K * A).reshape(K, A, D)
+            if self.graph_axis is not None:
+                agg = jax.lax.psum(agg, self.graph_axis)
             inp = jnp.concatenate([x] + [agg[h] for h in range(K)], axis=-1)
             used = in_dim
 

@@ -163,7 +163,6 @@ def make_train_step(
 
     if mesh is None:
 
-        @jax.jit
         def step(params, opt_state, batch, lr, rng):
             loss_sum, grads, n = local_grads(params, batch, rng)
             n = jnp.maximum(n, 1.0)
@@ -171,7 +170,8 @@ def make_train_step(
             params, opt_state = apply_update(params, opt_state, grads, lr)
             return params, opt_state, loss_sum / n, n
 
-        return step
+        # donate params/opt_state buffers: the updated pytrees reuse them
+        return jax.jit(step, donate_argnums=(0, 1))
 
     shard_map = jax.shard_map
 
@@ -195,7 +195,7 @@ def make_train_step(
         in_specs=(P(), P(), P(axes), P(), P()),
         out_specs=(P(), P(), P(), P()),
     )
-    return jax.jit(step)
+    return jax.jit(step, donate_argnums=(0, 1))
 
 
 def train(

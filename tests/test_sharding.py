@@ -69,8 +69,13 @@ def test_sharded_step_matches_single_device(rng):
     opt_state = opt.init(params)
 
     sharded_step = make_train_step(model, tc, opt, mesh=mesh)
+    # the step donates params/opt_state — pass copies to keep originals alive
     p1, _, loss1, n1 = sharded_step(
-        params, opt_state, stacked, jnp.float32(1e-3), jax.random.PRNGKey(1)
+        jax.tree_util.tree_map(jnp.copy, params),
+        opt_state,
+        stacked,
+        jnp.float32(1e-3),
+        jax.random.PRNGKey(1),
     )
 
     # equivalent single-device global batch (same 32 molecules, same order)
