@@ -76,6 +76,10 @@ class GNNConfig:
     # Edge-partitioned execution: name of the mesh axis over which edges are
     # sharded (atoms replicated; partial aggregations psum'd per MP layer).
     graph_axis: Optional[str] = None
+    # "float32" | "bfloat16": activation dtype on the atom-heavy path
+    # (embeddings → MP layers → concat_self_other).  Params, scatter
+    # accumulation, pooling softmax, FFN head and loss stay float32.
+    compute_dtype: str = "float32"
     feature_sizes: Tuple[Tuple[str, int], ...] = tuple(DEFAULT_FEATURE_SIZES.items())
 
     @property
@@ -147,9 +151,10 @@ class GNN(nn.Module):
             table = self.param(name, _xavier_embed_init, (feature_sizes[key], cfg.embedding_dim))
             embs.append(jnp.take(table, field, axis=0))
         x = jnp.concatenate(embs, axis=-1)  # (A, 4*emb)
+        cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
         # 2. Project + split (reference gnn.py:224-231)
-        x = Linear(cfg.hidden_dim, init="xavier", name="embedding_projection")(x)
+        x = Linear(cfg.hidden_dim, init="xavier", dtype=cdt, name="embedding_projection")(x)
         x = act(x)
         x_self, x_other = jnp.split(x, [cfg.x_self_dim], axis=-1)
 
@@ -185,6 +190,7 @@ class GNN(nn.Module):
                 num_mlp_layers=cfg.shell_conv_num_mlp_layers,
                 parity_mode=cfg.parity_mode,
                 graph_axis=cfg.graph_axis,
+                dtype=cdt,
                 name=f"message_passing_layers_{layer_idx}",
             )
             x_other = (
@@ -203,10 +209,10 @@ class GNN(nn.Module):
             partial_charges = x_other[:, 0]
 
         # 4. Combine (reference gnn.py:245-246) — atom-embedding tap point
-        x_combined = jnp.concatenate([x_self, x_other], axis=-1)
-        atom_embeddings = Linear(cfg.hidden_dim, init="xavier", name="concat_self_other")(
-            x_combined
-        )
+        x_combined = jnp.concatenate([x_self, x_other.astype(x_self.dtype)], axis=-1)
+        atom_embeddings = Linear(
+            cfg.hidden_dim, init="xavier", dtype=cdt, name="concat_self_other"
+        )(x_combined).astype(jnp.float32)
 
         # 5. Pooling (reference gnn.py:249) — mol-embedding tap point
         attention_weights = None

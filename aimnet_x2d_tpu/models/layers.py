@@ -48,14 +48,22 @@ class Linear(nn.Module):
     features: int
     init: str = "torch"  # "torch" | "xavier"
     use_bias: bool = True
-    dtype: Any = None
+    dtype: Any = None  # compute dtype; params stay float32
 
     @nn.compact
     def __call__(self, x):
         in_features = x.shape[-1]
         kinit = _torch_kernel_init if self.init == "torch" else _xavier_kernel_init
         kernel = self.param("kernel", kinit, (in_features, self.features))
-        y = jnp.dot(x, kernel.astype(x.dtype) if self.dtype is None else kernel.astype(self.dtype))
+        if self.dtype is not None:
+            # mixed precision: bf16 operands on the MXU, fp32 accumulation
+            y = jnp.dot(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype)
+        else:
+            y = jnp.dot(x, kernel.astype(x.dtype))
         if self.use_bias:
             if self.init == "torch":
                 bound = 1.0 / math.sqrt(in_features)
@@ -93,6 +101,9 @@ class ShellConvolutionLayer(nn.Module):
     # partial aggregation is summed over this mesh axis so every device sees
     # the full neighborhood sum.  The dense compute stays replicated.
     graph_axis: str | None = None
+    # Mixed precision: bf16 operands/activations, fp32 accumulation for
+    # both the MXU matmuls and the edge scatter-add.
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -129,7 +140,11 @@ class ShellConvolutionLayer(nn.Module):
             (D,),
         )
 
+        dt = self.dtype
         src_feat = jnp.where(edge_mask[:, None], x[edge_src], 0.0)
+        if dt is not None:
+            # accumulate the scatter in fp32 regardless of activation dtype
+            src_feat = src_feat.astype(jnp.float32)
 
         if self.parity_mode:
             # Union-of-hops aggregation (Q1 semantics): hop chunks 1..K-1 are
@@ -138,7 +153,7 @@ class ShellConvolutionLayer(nn.Module):
             agg = segment_sum(src_feat, edge_dst, A)
             if self.graph_axis is not None:
                 agg = jax.lax.psum(agg, self.graph_axis)
-            inp = jnp.concatenate([x, agg], axis=-1)  # (A, 2D)
+            inp = jnp.concatenate([x, agg.astype(x.dtype)], axis=-1)  # (A, 2D)
             used = 2 * D
         else:
             # True per-hop aggregation: scatter into a (K*A, D) buffer keyed
@@ -147,19 +162,29 @@ class ShellConvolutionLayer(nn.Module):
             agg = segment_sum(src_feat, flat_idx, K * A).reshape(K, A, D)
             if self.graph_axis is not None:
                 agg = jax.lax.psum(agg, self.graph_axis)
-            inp = jnp.concatenate([x] + [agg[h] for h in range(K)], axis=-1)
+            inp = jnp.concatenate(
+                [x] + [agg[h].astype(x.dtype) for h in range(K)], axis=-1
+            )
             used = in_dim
 
-        h = jnp.dot(inp, w_in[:used]) + b_in
+        def _proj(v, w, b):
+            if dt is not None:
+                y = jnp.dot(
+                    v.astype(dt), w.astype(dt), preferred_element_type=jnp.float32
+                ).astype(dt)
+                return y + b.astype(dt)
+            return jnp.dot(v, w) + b
+
+        h = _proj(inp, w_in[:used], b_in)
         h = act(h)
-        global_skip = jnp.dot(inp, w_skip[:used]) + b_skip
+        global_skip = _proj(inp, w_skip[:used], b_skip)
 
         for i in range(self.num_mlp_layers):
             layer_skip = h
-            h = Linear(D, name=f"mlp_{i}_linear_1")(h)
+            h = Linear(D, dtype=dt, name=f"mlp_{i}_linear_1")(h)
             h = act(h)
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-            h = Linear(D, name=f"mlp_{i}_linear_2")(h)
+            h = Linear(D, dtype=dt, name=f"mlp_{i}_linear_2")(h)
             h = h + layer_skip
 
         return h + global_skip

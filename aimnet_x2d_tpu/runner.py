@@ -52,6 +52,7 @@ def gnn_config_from_args(args: argparse.Namespace, output_dim: int) -> GNNConfig
         attention_temperature=args.attention_temperature,
         loss_function=args.loss_function,
         parity_mode=not getattr(args, "true_multi_hop", False),
+        compute_dtype="bfloat16" if getattr(args, "mixed_precision", False) else "float32",
     )
 
 

@@ -23,7 +23,11 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 BASELINE_PATH = os.path.join(REPO, "BENCH_BASELINE.json")
 
-NUM_GRAPHS = int(os.environ.get("BENCH_GRAPHS", 1024))
+# 16384 molecules (~295k atoms, ~1.77M edges) saturates one v5e chip's HBM
+# headroom for the fwd+bwd step; smaller batches are dispatch-latency-bound
+# (the per-step launch overhead through the runtime is ~0.6 ms while the
+# on-chip compute at 1024 molecules is <0.1 ms).
+NUM_GRAPHS = int(os.environ.get("BENCH_GRAPHS", 16384))
 NUM_HOPS = 3
 WARMUP = 3
 ITERS = int(os.environ.get("BENCH_ITERS", 20))
