@@ -148,9 +148,18 @@ def _run_training(args: argparse.Namespace) -> Dict[str, Any]:
         params, _, _ = transfer_params(art.params, params)
 
     tc = train_config_from_args(args)
+    from .utils.tracking import create_tracker
+
+    tracker = create_tracker(args)
+    checkpointer = None
+    if args.checkpoint_dir:
+        from .checkpoint import TrainCheckpointer
+
+        checkpointer = TrainCheckpointer(args.checkpoint_dir)
     result = train(
         model, params, train_loader, val_loader, tc, mesh=mesh, pipeline=pipe,
-        rng=jax.random.PRNGKey(args.seed),
+        rng=jax.random.PRNGKey(args.seed), tracker=tracker,
+        checkpointer=checkpointer, checkpoint_every=args.checkpoint_every,
     )
 
     test_metrics = evaluate(
@@ -191,14 +200,26 @@ def _run_training(args: argparse.Namespace) -> Dict[str, Any]:
         np.savez(args.output_partial_charges, charges=charges, molecule_index=mol_idx)
         print(f"[charges] saved to {args.output_partial_charges}")
 
-    return {
+    summary = {
         "best_val_loss": result.best_val_loss,
         "best_epoch": result.best_epoch,
         "test_metrics": test_metrics,
-        "params": result.params,
         "avg_epoch_seconds": result.avg_epoch_seconds,
         "total_seconds": time.time() - t_start,
     }
+    # experiment summary JSON next to the artifact
+    # (reference: src/main/utils.py experiment summary)
+    summary_path = args.model_save_path + ".summary.json"
+    with open(summary_path, "w") as f:
+        json.dump(summary, f, indent=2, default=str)
+    tracker.summary(
+        {"best_val_loss": result.best_val_loss,
+         **{f"test_{k}": v for k, v in test_metrics.items() if not isinstance(v, dict)}}
+    )
+    tracker.finish()
+    if checkpointer is not None:
+        checkpointer.close()
+    return {**summary, "params": result.params}
 
 
 def _extract_embeddings(args, model, params, named_datasets) -> None:

@@ -209,12 +209,31 @@ def train(
     rng: Optional[jax.Array] = None,
     pipeline=None,
     verbose: bool = True,
+    tracker=None,
+    checkpointer=None,
+    checkpoint_every: int = 10,
+    train_step=None,
 ) -> TrainResult:
     """Epoch loop with validation, LR scheduling, early stopping, and
-    best-model restore (reference: src/training/trainer.py:185-474)."""
+    best-model restore (reference: src/training/trainer.py:185-474).
+
+    TPU-native additions the reference lacks: periodic orbax checkpointing
+    with resume (``checkpointer``), optional wandb tracking (``tracker``),
+    an edges/sec throughput meter, and a pluggable ``train_step`` (e.g.
+    the edge-partitioned step from parallel/graph_parallel.py).
+    """
     optimizer = make_optimizer(config, params)
     opt_state = optimizer.init(params)
-    step = make_train_step(model, config, optimizer, mesh)
+    step = train_step or make_train_step(model, config, optimizer, mesh)
+
+    start_epoch = 0
+    if checkpointer is not None:
+        restored = checkpointer.restore(params, opt_state)
+        if restored is not None:
+            start_epoch, params, opt_state = restored
+            start_epoch += 1
+            if verbose:
+                print(f"[resume] restored checkpoint at epoch {start_epoch - 1}")
     scheduler = create_scheduler(
         config.lr_scheduler,
         config.learning_rate,
@@ -235,19 +254,23 @@ def train(
     lr = config.learning_rate
     epoch_times: List[float] = []
 
-    for epoch in range(config.epochs):
+    for epoch in range(start_epoch, config.epochs):
         t0 = time.time()
         train_loader.set_epoch(epoch)
         loss_sum = 0.0
         n_sum = 0.0
+        edges = 0
         for batch in train_loader:
             rng, dropout_rng = jax.random.split(rng)
+            edges += int(np.sum(np.asarray(batch.edge_mask)))
             params, opt_state, loss, n = step(
                 params, opt_state, batch, jnp.float32(lr), dropout_rng
             )
             nf = float(n)
             loss_sum += float(loss) * nf
             n_sum += nf
+        jax.block_until_ready(loss)
+        train_seconds = time.time() - t0
         train_loss = loss_sum / max(n_sum, 1.0)
 
         val_metrics = evaluate(
@@ -258,21 +281,29 @@ def train(
         dt = time.time() - t0
         epoch_times.append(dt)
 
-        history.append(
-            {
-                "epoch": epoch,
-                "train_loss": train_loss,
-                "val_loss": val_loss,
-                "lr": lr,
-                "seconds": dt,
-                **{f"val_{k}": v for k, v in val_metrics.items() if k != "loss"},
-            }
-        )
+        record = {
+            "epoch": epoch,
+            "train_loss": train_loss,
+            "val_loss": val_loss,
+            "lr": lr,
+            "seconds": dt,
+            "edges_per_sec": edges / max(train_seconds, 1e-9),
+            **{
+                f"val_{k}": v
+                for k, v in val_metrics.items()
+                if k != "loss" and not isinstance(v, dict)
+            },
+        }
+        history.append(record)
+        if tracker is not None:
+            tracker.log(record, step=epoch)
         if verbose and (config.log_every == 0 or epoch % config.log_every == 0):
             print(
                 f"[epoch {epoch:3d}] train {train_loss:.5f}  val {val_loss:.5f}  "
-                f"lr {lr:.2e}  ({dt:.1f}s)"
+                f"lr {lr:.2e}  ({dt:.1f}s, {record['edges_per_sec']/1e6:.1f}M edges/s)"
             )
+        if checkpointer is not None and (epoch + 1) % checkpoint_every == 0:
+            checkpointer.save(epoch, params, opt_state)
 
         if val_loss < best_val:
             best_val = val_loss
