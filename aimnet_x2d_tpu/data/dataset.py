@@ -31,12 +31,23 @@ def featurize_many(
     num_workers: int = 0,
 ) -> Tuple[List[str], np.ndarray, List[MolFeatures]]:
     """Featurize SMILES in parallel; drop failures and their targets
-    (reference: src/datasets/features.py:337-379)."""
+    (reference: src/datasets/features.py:337-379).
+
+    Uses the native C++ featurizer (chem/native.py, ~9x faster per core and
+    GIL-releasing so a thread pool scales) when the shared library is built;
+    falls back to the pure-Python path with a process pool otherwise.
+    """
     targets = np.asarray(targets, np.float32)
     if targets.ndim == 1:
         targets = targets[:, None]
 
-    if num_workers and num_workers > 1:
+    from ..chem.native import compute_features_batch, native_available
+
+    if native_available():
+        results = compute_features_batch(
+            list(smiles), max_hops, num_threads=max(num_workers, 1)
+        )
+    elif num_workers and num_workers > 1:
         # fork is unsafe once JAX's thread pools exist; use forkserver/spawn
         import multiprocessing as mp
 
