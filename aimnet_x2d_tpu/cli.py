@@ -113,6 +113,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="data-parallel devices (default: all visible)")
     g.add_argument("--mixed_precision", action="store_true",
                    help="bfloat16 matmuls on TPU")
+    g.add_argument("--gradient_checkpointing", action="store_true",
+                   help="rematerialize MP layers in backward (larger batches)")
     g.add_argument("--precompute_num_workers", type=int, default=None)
     g.add_argument("--model_save_path", type=str, default="gnn_model.npz")
     g.add_argument("--seed", type=int, default=42)

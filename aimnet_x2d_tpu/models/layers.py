@@ -113,8 +113,7 @@ class ShellConvolutionLayer(nn.Module):
         edge_dst: jax.Array,  # (E,) padding -> A
         edge_hop: jax.Array,  # (E,) 1..K, padding 0
         edge_mask: jax.Array,  # (E,) bool
-        *,
-        deterministic: bool = True,
+        deterministic: bool = True,  # positional-friendly for nn.remat
     ) -> jax.Array:
         A, D = x.shape
         K = self.num_hops

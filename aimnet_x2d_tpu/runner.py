@@ -53,6 +53,7 @@ def gnn_config_from_args(args: argparse.Namespace, output_dim: int) -> GNNConfig
         loss_function=args.loss_function,
         parity_mode=not getattr(args, "true_multi_hop", False),
         compute_dtype="bfloat16" if getattr(args, "mixed_precision", False) else "float32",
+        remat=getattr(args, "gradient_checkpointing", False),
     )
 
 

@@ -23,11 +23,12 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 BASELINE_PATH = os.path.join(REPO, "BENCH_BASELINE.json")
 
-# 16384 molecules (~295k atoms, ~1.77M edges) saturates one v5e chip's HBM
-# headroom for the fwd+bwd step; smaller batches are dispatch-latency-bound
-# (the per-step launch overhead through the runtime is ~0.6 ms while the
-# on-chip compute at 1024 molecules is <0.1 ms).
-NUM_GRAPHS = int(os.environ.get("BENCH_GRAPHS", 16384))
+# Production-config defaults: 32768 molecules (~590k atoms, ~3.5M edges)
+# per chip with rematerialized MP layers and bf16 activations — the largest
+# batch that fits v5e HBM for the fwd+bwd step.  Smaller batches are
+# dispatch-latency-bound (~0.6 ms launch overhead vs <0.15 ms compute at
+# 1024 molecules).  Override via BENCH_GRAPHS / BENCH_REMAT / BENCH_BF16.
+NUM_GRAPHS = int(os.environ.get("BENCH_GRAPHS", 32768))
 NUM_HOPS = 3
 WARMUP = 3
 ITERS = int(os.environ.get("BENCH_ITERS", 20))
@@ -53,6 +54,8 @@ def main():
         task_type="multitask",
         shell_conv_dropout=0.0,
         ffn_dropout=0.0,
+        remat=os.environ.get("BENCH_REMAT", "1") == "1",
+        compute_dtype="bfloat16" if os.environ.get("BENCH_BF16", "1") == "1" else "float32",
     )
     model = GNN(cfg)
     batch = make_synthetic_batch(
