@@ -100,7 +100,114 @@ def _load_splits(args) -> Tuple[Tuple, Tuple, Tuple, int]:
     return tr, va, te, tr[1].shape[1]
 
 
+def _run_training_streaming(args: argparse.Namespace) -> Dict[str, Any]:
+    """Iterable-dataset branch: columnar HDF5s streamed into padded batches
+    (reference: src/main/runner.py:249-262,427-551 + iterable loaders).
+
+    If all three HDF5s exist they are reused (with the preprocessing state
+    read back from metadata — explicit error when absent, fixing quirk
+    Q13's silent dummy-stats fallback); otherwise they are built from the
+    CSV inputs with preprocessing fit on the train split only.
+    """
+    import os
+
+    from .data.hdf5 import HDF5BatchLoader, HDF5MoleculeDataset, write_hdf5
+
+    t_start = time.time()
+    paths = [args.train_hdf5, args.val_hdf5, args.test_hdf5]
+    if not all(os.path.exists(p) for p in paths):
+        (tr_s, tr_t), (va_s, va_t), (te_s, te_t), num_tasks = _load_splits(args)
+        workers = args.precompute_num_workers
+        splits = {}
+        for name, (s, t) in (("train", (tr_s, tr_t)), ("val", (va_s, va_t)), ("test", (te_s, te_t))):
+            splits[name] = MoleculeDataset.from_smiles(s, t, args.num_shells, workers)
+        pipe = PreprocessingPipeline(
+            PreprocessingConfig(
+                apply_sae=args.calculate_sae,
+                sae_subtasks=args.sae_subtask_list,
+                apply_standard_scaling=True,
+                task_type=args.task_type,
+            )
+        )
+        pipe.fit(splits["train"].atomic_numbers(), splits["train"].targets)
+        cols = args.multi_target_list or [args.target_column]
+        for name, path in zip(("train", "val", "test"), paths):
+            ds = splits[name]
+            ds = ds.with_targets(pipe.transform(ds.atomic_numbers(), ds.targets))
+            write_hdf5(path, ds, target_columns=cols, preprocessing_state=pipe.state_dict())
+            print(f"[hdf5] wrote {len(ds)} molecules → {path}")
+
+    train_h5 = HDF5MoleculeDataset(args.train_hdf5)
+    val_h5 = HDF5MoleculeDataset(args.val_hdf5)
+    test_h5 = HDF5MoleculeDataset(args.test_hdf5)
+    if train_h5.preprocessing_state is None:
+        raise ValueError(
+            f"{args.train_hdf5} lacks preprocessing metadata; rebuild it with "
+            "this framework (silent dummy-stat fallbacks are not supported)"
+        )
+    pipe = PreprocessingPipeline.from_state_dict(train_h5.preprocessing_state)
+    num_tasks = train_h5.num_tasks
+
+    n_dev = args.num_devices or 1
+    mesh = create_mesh(num_data=n_dev, num_graph=1) if n_dev > 1 else None
+    stack = n_dev if mesh is not None else 0
+    train_loader = HDF5BatchLoader(
+        train_h5, args.batch_size, shuffle=True, seed=args.seed, stack_devices=stack
+    )
+    val_loader = HDF5BatchLoader(val_h5, args.batch_size * max(1, n_dev))
+    test_loader = HDF5BatchLoader(test_h5, args.batch_size * max(1, n_dev))
+
+    cfg = gnn_config_from_args(args, num_tasks)
+    model = GNN(cfg)
+    rng = set_seed(args.seed)
+    init_batch = next(iter(train_loader))
+    if stack:
+        init_batch = jax.tree_util.tree_map(lambda x: x[0], init_batch)
+    params = model.init(rng, init_batch)
+    if args.transfer_learning:
+        art = load_artifact(args.transfer_learning)
+        params, _, _ = transfer_params(art.params, params)
+
+    tc = train_config_from_args(args)
+    result = train(
+        model, params, train_loader, val_loader, tc, mesh=mesh, pipeline=pipe,
+        rng=jax.random.PRNGKey(args.seed),
+    )
+    test_metrics = evaluate(
+        model, result.params, test_loader, config=tc, pipeline=pipe, mesh=mesh
+    )
+    print(
+        f"[test] loss {test_metrics['loss']:.5f}  mae {test_metrics['mae']:.5f}  "
+        f"rmse {test_metrics['rmse']:.5f}  r2 {test_metrics['r2']:.4f}"
+    )
+    save_artifact(
+        args.model_save_path, result.params, cfg, pipe,
+        extra={
+            "task_type": args.task_type,
+            "target_columns": train_h5.target_columns
+            or args.multi_target_list
+            or [args.target_column],
+            "best_val_loss": result.best_val_loss,
+            "best_epoch": result.best_epoch,
+            "max_hops": args.num_shells,
+        },
+    )
+    print(f"[artifact] saved to {args.model_save_path}")
+    for h5 in (train_h5, val_h5, test_h5):
+        h5.close()
+    return {
+        "best_val_loss": result.best_val_loss,
+        "best_epoch": result.best_epoch,
+        "test_metrics": test_metrics,
+        "params": result.params,
+        "avg_epoch_seconds": result.avg_epoch_seconds,
+        "total_seconds": time.time() - t_start,
+    }
+
+
 def _run_training(args: argparse.Namespace) -> Dict[str, Any]:
+    if args.iterable_dataset:
+        return _run_training_streaming(args)
     t_start = time.time()
     (tr_s, tr_t), (va_s, va_t), (te_s, te_t), num_tasks = _load_splits(args)
     print(f"[data] train {len(tr_s)}  val {len(va_s)}  test {len(te_s)}  tasks {num_tasks}")
