@@ -358,6 +358,16 @@ def main_runner(args: argparse.Namespace) -> Dict[str, Any]:
     setup_paths(args)
     set_seed(args.seed)
 
+    # system info (reference: src/main/utils.py system info log)
+    devices = jax.devices()
+    from .chem.native import native_available
+
+    print(
+        f"[system] {len(devices)} {devices[0].platform} device(s), "
+        f"process {jax.process_index()}/{jax.process_count()}, "
+        f"native featurizer: {'yes' if native_available() else 'no (python fallback)'}"
+    )
+
     if args.is_inference:
         from .inference.engine import inference_main
 
