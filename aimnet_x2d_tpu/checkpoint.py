@@ -146,12 +146,15 @@ class TrainCheckpointer:
             options=ocp.CheckpointManagerOptions(max_to_keep=keep, create=True),
         )
 
-    def save(self, epoch: int, params, opt_state) -> None:
+    def save(self, epoch: int, params, opt_state, aux: Optional[Dict] = None) -> None:
+        """``aux`` carries host-side training state (LR, scheduler counters,
+        best-val tracking) so resume reproduces the uninterrupted run."""
         self.manager.save(
             epoch,
             args=self._ocp.args.Composite(
                 params=self._ocp.args.StandardSave(params),
                 opt_state=self._ocp.args.StandardSave(opt_state),
+                aux=self._ocp.args.JsonSave(aux or {}),
             ),
         )
 
@@ -167,9 +170,10 @@ class TrainCheckpointer:
             args=self._ocp.args.Composite(
                 params=self._ocp.args.StandardRestore(params_template),
                 opt_state=self._ocp.args.StandardRestore(opt_state_template),
+                aux=self._ocp.args.JsonRestore(),
             ),
         )
-        return step, restored["params"], restored["opt_state"]
+        return step, restored["params"], restored["opt_state"], restored.get("aux") or {}
 
     def close(self):
         self.manager.close()

@@ -212,6 +212,17 @@ def parse_smiles(smiles: str) -> Molecule:
 
     Raises SmilesError on malformed input (callers treat that like the
     reference treats ``Chem.MolFromSmiles == None``)."""
+    try:
+        return _parse_smiles(smiles)
+    except SmilesError:
+        raise
+    except (ValueError, IndexError) as e:
+        # malformed syntax surfacing as str.index/int errors must still be
+        # a SmilesError so featurizers drop the row instead of crashing
+        raise SmilesError(f"Malformed SMILES {smiles!r}: {e}") from None
+
+
+def _parse_smiles(smiles: str) -> Molecule:
     mol = Molecule()
     prev: Optional[int] = None
     stack: List[Optional[int]] = []

@@ -169,6 +169,8 @@ def collate(
         raise ValueError(f"graph_slots={Bslots} < batch {B}")
 
     def _cat(key):
+        if not mols:  # empty device shard (short final chunk)
+            return np.zeros(0, np.int32)
         return np.concatenate([getattr(m, key) for m in mols]).astype(np.int32)
 
     atom_type = np.zeros(A, np.int32)

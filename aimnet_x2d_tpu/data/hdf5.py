@@ -37,6 +37,11 @@ from .batching import MolBatch, MolFeatures, bucket_size, collate
 from .dataset import BatchLoader, MoleculeDataset, featurize_many
 
 
+def _decode(s) -> str:
+    """h5py vlen strings read back as bytes; str() would mangle to "b'..'"."""
+    return s.decode() if isinstance(s, bytes) else str(s)
+
+
 def write_hdf5(
     path: str,
     dataset: MoleculeDataset,
@@ -232,13 +237,13 @@ class HDF5MoleculeDataset:
             trans_pairs=f["stereo/trans"][r0:r1].astype(np.int32).reshape(-1, 2),
             total_charge=float(f["graphs/total_charge"][i]),
             atomic_numbers=f["atoms/atomic_numbers"][a0:a1].astype(np.int32),
-            smiles=str(f["graphs/smiles"][i]),
+            smiles=_decode(f["graphs/smiles"][i]),
         )
 
     def load_all(self) -> MoleculeDataset:
         f = self.file
         feats = [self.get_features(i) for i in range(self.num_molecules)]
-        smiles = [str(s) for s in f["graphs/smiles"][:]]
+        smiles = [_decode(s) for s in f["graphs/smiles"][:]]
         return MoleculeDataset(
             smiles=smiles,
             targets=np.asarray(f["graphs/targets"][:], np.float32),
@@ -292,12 +297,15 @@ class HDF5BatchLoader:
 
     def _collate(self, idx) -> MolBatch:
         mols = [self.ds.get_features(i) for i in idx]
-        targets = self.ds.file["graphs/targets"][np.sort(np.asarray(idx))]  # h5 needs sorted
-        # restore requested order
-        order = np.argsort(np.asarray(idx), kind="stable")
-        inv = np.empty_like(order)
-        inv[order] = np.arange(len(order))
-        targets = targets[inv]
+        if len(idx) == 0:  # empty device shard (short final chunk)
+            targets = np.zeros((0, self.ds.num_tasks), np.float32)
+        else:
+            targets = self.ds.file["graphs/targets"][np.sort(np.asarray(idx))]  # h5 needs sorted
+            # restore requested order
+            order = np.argsort(np.asarray(idx), kind="stable")
+            inv = np.empty_like(order)
+            inv[order] = np.arange(len(order))
+            targets = targets[inv]
         return collate(
             mols,
             targets,

@@ -62,6 +62,16 @@ def run_hyperparameter_optimization(args) -> Dict[str, Any]:
         trial_args = copy.deepcopy(args)
         for k, v in sampled.items():
             setattr(trial_args, k, v)
+        # re-derive coupled defaults from their (possibly sampled) sources:
+        # postprocess_arguments only fills them when None, and the base args
+        # were already postprocessed once
+        for derived, source in (
+            ("ffn_hidden_dim", "hidden_dim"),
+            ("precompute_num_workers", "num_workers"),
+            ("stream_batch_size", "batch_size"),
+        ):
+            if source in sampled and derived not in sampled:
+                setattr(trial_args, derived, None)
         trial_args.hyperparameter_file = None
         trial_args.num_trials = 1
         trial_args.seed = args.seed + trial

@@ -81,6 +81,10 @@ class StreamingInferencePipeline:
     def _result_frame(self, ds: MoleculeDataset, res: Dict[str, np.ndarray]) -> pd.DataFrame:
         out = {"smiles": ds.smiles}
         preds = res["predictions"]
+        T = len(self.target_columns)
+        if preds.shape[1] == 4 * T:
+            # evidential model run in deterministic mode: report the γ head
+            preds = preds.reshape(len(preds), T, 4)[:, :, 0]
         for t, col in enumerate(self.target_columns):
             out[col] = preds[:, t]
         for key, suffix in (

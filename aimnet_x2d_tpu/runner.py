@@ -76,8 +76,14 @@ def train_config_from_args(args: argparse.Namespace) -> TrainConfig:
         lr_exp_gamma=args.lr_exp_gamma,
         layer_wise_lr_decay=args.layer_wise_lr_decay,
         lr_decay_factor=args.lr_decay_factor,
-        freeze_patterns=args.freeze_layer_list if args.freeze_pretrained or args.freeze_layer_list else None,
-        unfreeze_patterns=args.unfreeze_layer_list,
+        freeze_patterns=args.freeze_layer_list,
+        # --freeze_pretrained without an explicit list matches the reference:
+        # freeze everything except the output head
+        # (reference: src/main/runner.py:737-742)
+        unfreeze_patterns=(
+            args.unfreeze_layer_list
+            or (["output_layer"] if args.freeze_pretrained and not args.freeze_layer_list else None)
+        ),
     )
 
 

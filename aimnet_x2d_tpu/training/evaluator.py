@@ -48,16 +48,37 @@ def compute_metrics(
     return out
 
 
-_FORWARD_CACHE: Dict[int, Any] = {}
+# Jitted-forward cache keyed by model *config* (GNNConfig is a frozen,
+# hashable dataclass): equal-config models share one trace/executable, so
+# long multi-trial runs (hyperopt) don't accumulate compilations, and the
+# cache stays bounded by the number of distinct architectures.
+_FORWARD_CACHE: Dict[Any, Any] = {}
+_FORWARD_CACHE_MAX = 32
+
+
+def forward_fn(model: GNN, variant: str = "predictions"):
+    key = (type(model).__name__, model.config, variant)
+    if key not in _FORWARD_CACHE:
+        if len(_FORWARD_CACHE) >= _FORWARD_CACHE_MAX:
+            _FORWARD_CACHE.pop(next(iter(_FORWARD_CACHE)))
+        if variant == "predictions":
+            fn = jax.jit(lambda p, b: model.apply(p, b, deterministic=True).predictions)
+        elif variant == "full":
+            fn = jax.jit(lambda p, b: model.apply(p, b, deterministic=True))
+        elif variant == "stochastic":
+            fn = jax.jit(
+                lambda p, b, key: model.apply(
+                    p, b, deterministic=False, rngs={"dropout": key}
+                ).predictions
+            )
+        else:
+            raise ValueError(variant)
+        _FORWARD_CACHE[key] = fn
+    return _FORWARD_CACHE[key]
 
 
 def _forward_fn(model: GNN):
-    key = id(model)
-    if key not in _FORWARD_CACHE:
-        _FORWARD_CACHE[key] = jax.jit(
-            lambda p, b: model.apply(p, b, deterministic=True).predictions
-        )
-    return _FORWARD_CACHE[key]
+    return forward_fn(model, "predictions")
 
 
 def predict_batches(model: GNN, params, loader, *, mesh=None):

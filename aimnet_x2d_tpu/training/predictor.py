@@ -37,7 +37,9 @@ def predict(
     return_embeddings: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Deterministic prediction over a loader, inverse-transformed."""
-    fwd = jax.jit(lambda p, b: model.apply(p, b, deterministic=True))
+    from .evaluator import forward_fn
+
+    fwd = forward_fn(model, "full")
     preds, mols, atoms, atom_mols = [], [], [], []
     for batch in loader:
         out = fwd(params, batch)
@@ -62,9 +64,18 @@ def predict(
 
 
 def _inverse(preds: np.ndarray, pipeline) -> np.ndarray:
-    T_out = preds.shape[1]
-    # evidential raw outputs: inverse-transform γ only, keep params raw
-    return pipeline.inverse_transform(preds) if pipeline else preds
+    if pipeline is None:
+        return preds
+    scaler = pipeline.standard_scaler
+    if scaler is not None and scaler.is_fitted:
+        T = scaler.stds.shape[0]
+        if preds.shape[1] == 4 * T:
+            # evidential raw outputs: inverse-transform the γ head only,
+            # leave ν/α/β raw
+            out = preds.reshape(len(preds), T, 4).copy()
+            out[:, :, 0] = scaler.inverse_transform(out[:, :, 0])
+            return out.reshape(len(preds), 4 * T)
+    return pipeline.inverse_transform(preds)
 
 
 def predict_mc_dropout(
@@ -78,12 +89,9 @@ def predict_mc_dropout(
     """MC-dropout: S stochastic passes → mean / std
     (reference: src/training/predictor.py:93-180)."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
+    from .evaluator import forward_fn
 
-    @jax.jit
-    def fwd_stoch(p, b, key):
-        return model.apply(
-            p, b, deterministic=False, rngs={"dropout": key}
-        ).predictions
+    fwd_stoch = forward_fn(model, "stochastic")
 
     all_means, all_stds = [], []
     for batch in loader:
@@ -112,7 +120,9 @@ def predict_evidential(
 ) -> Dict[str, np.ndarray]:
     """Evidential prediction with aleatoric/epistemic decomposition
     (reference: src/training/predictor.py:287-360)."""
-    fwd = jax.jit(lambda p, b: model.apply(p, b, deterministic=True).predictions)
+    from .evaluator import forward_fn
+
+    fwd = forward_fn(model, "predictions")
     gammas, aleas, epis = [], [], []
     for batch in loader:
         raw = fwd(params, batch)
@@ -145,7 +155,9 @@ def extract_partial_charges(
     The reference defines this but never wires it to any pipeline (quirk
     Q9; reference src/training/extractors.py:16); here it is a first-class
     API used by the CLI's --output_partial_charges."""
-    fwd = jax.jit(lambda p, b: model.apply(p, b, deterministic=True))
+    from .evaluator import forward_fn
+
+    fwd = forward_fn(model, "full")
     charges, mol_idx = [], []
     offset = 0
     for batch in loader:

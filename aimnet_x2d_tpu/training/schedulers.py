@@ -20,10 +20,24 @@ class _Scheduler:
     def step(self, epoch: int, val_loss: float) -> float:
         raise NotImplementedError
 
+    # stateful fields for checkpoint/resume (subclasses with extra state
+    # extend _STATE_FIELDS)
+    _STATE_FIELDS = ("lr",)
+
+    def state_dict(self) -> dict:
+        return {k: float(getattr(self, k)) for k in self._STATE_FIELDS}
+
+    def load_state_dict(self, d: dict) -> None:
+        for k in self._STATE_FIELDS:
+            if k in d:
+                setattr(self, k, d[k])
+
 
 class ReduceLROnPlateau(_Scheduler):
     """torch.optim.lr_scheduler.ReduceLROnPlateau (mode=min,
     threshold=1e-4 relative, cooldown=0, min_lr=0)."""
+
+    _STATE_FIELDS = ("lr", "best", "num_bad")
 
     def __init__(self, base_lr: float, factor: float = 0.5, patience: int = 10):
         super().__init__(base_lr)

