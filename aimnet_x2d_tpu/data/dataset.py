@@ -153,6 +153,17 @@ class BatchLoader:
         self.tet_slots = bucket_size(int(np.sort(tets)[-k:].sum()) + 1 if len(tets) else 8)
         self.pair_slots = bucket_size(int(np.sort(pairs)[-k:].sum()) + 1 if len(pairs) else 8)
 
+    def pin_slots(self, slots: dict) -> dict:
+        """Grow this loader's slot caps to at least ``slots`` (and update
+        ``slots`` in place to the running max).  Streaming callers use this
+        to keep one static batch shape across many small datasets/chunks so
+        the jitted forward compiles once."""
+        for name in ("atom_slots", "edge_slots", "tet_slots", "pair_slots"):
+            merged = max(slots.get(name, 0), getattr(self, name))
+            slots[name] = merged
+            setattr(self, name, merged)
+        return slots
+
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
 

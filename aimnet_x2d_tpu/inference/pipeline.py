@@ -56,11 +56,14 @@ class StreamingInferencePipeline:
         self.include_atom_embeddings = include_atom_embeddings
         self.max_hops = int(self.artifact.extra.get("max_hops", self.artifact.model_config.num_shells))
         self.target_columns = self.artifact.extra.get("target_columns") or ["prediction"]
+        # running slot caps so every chunk shares one compiled batch shape
+        self._slots: Dict[str, int] = {}
 
     # ------------------------------------------------------------------ #
 
     def _predict_dataset(self, ds: MoleculeDataset) -> Dict[str, np.ndarray]:
         loader = BatchLoader(ds, self.batch_size, fixed_shape=True)
+        loader.pin_slots(self._slots)
         num_tasks = len(self.target_columns)
         if self.mode == "mc_dropout":
             return predict_mc_dropout(

@@ -39,12 +39,14 @@ def predict(
     """Deterministic prediction over a loader, inverse-transformed."""
     from .evaluator import forward_fn
 
-    fwd = forward_fn(model, "full")
+    # only compile/transfer the intermediates when they're requested
+    fwd = forward_fn(model, "full" if return_embeddings else "predictions")
     preds, mols, atoms, atom_mols = [], [], [], []
     for batch in loader:
         out = fwd(params, batch)
         gm = np.asarray(batch.graph_mask)
-        preds.append(np.asarray(out.predictions)[gm])
+        pred_arr = out.predictions if return_embeddings else out
+        preds.append(np.asarray(pred_arr)[gm])
         if return_embeddings:
             am = np.asarray(batch.atom_mask)
             mols.append(np.asarray(out.mol_embeddings)[gm])
