@@ -103,6 +103,12 @@ class MolBatch(struct.PyTreeNode):
     trans_pairs: np.ndarray  # (P, 2)
     trans_mask: np.ndarray  # (P,) bool
 
+    # Halo-partitioned execution (parallel/halo.py): (G, Hp) int32 send map
+    # into the local atom axis, -1 = padding; None on ordinary batches.
+    # When set, edge_src indexes [local atoms ‖ halo buffer] and the model
+    # runs atom-sharded over the mesh 'graph' axis.
+    halo_send_idx: "np.ndarray | None" = None
+
     @property
     def num_atom_slots(self) -> int:
         return self.atom_type.shape[-1]

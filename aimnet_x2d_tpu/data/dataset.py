@@ -126,7 +126,10 @@ class BatchLoader:
         drop_last: bool = False,
         stack_devices: int = 0,
         edge_shards: int = 1,
+        halo_shards: int = 1,
     ):
+        if edge_shards > 1 and halo_shards > 1:
+            raise ValueError("edge_shards and halo_shards are exclusive graph-axis modes")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -135,6 +138,10 @@ class BatchLoader:
         self.drop_last = drop_last
         self.stack_devices = stack_devices
         self.edge_shards = edge_shards
+        self.halo_shards = halo_shards
+        # running per-device slot minimums so halo batches keep one static
+        # shape once warmed (partition_halo treats these as minimums)
+        self._halo_slots: dict = {}
         self._epoch = 0
 
         atoms = np.array([f.num_atoms for f in dataset.features])
@@ -203,6 +210,34 @@ class BatchLoader:
             **kw,
         )
 
+    def _partition_halo_shards(self, collated: List[MolBatch]) -> List[MolBatch]:
+        """Halo-partition each data shard with shared (pinned, monotonically
+        growing) per-device slot minimums so every shard in the stack — and
+        across steps — has identical static shapes."""
+        from ..parallel.halo import partition_halo
+
+        parts = []
+        for b in collated:
+            p, stats = partition_halo(
+                b, self.halo_shards, return_stats=True, **self._halo_slots
+            )
+            self._halo_slots = {
+                "atom_slots": stats.atom_slots_per_device,
+                "edge_slots": stats.edge_slots_per_device,
+                "halo_pair_slots": stats.halo_pair_slots,
+            }
+            parts.append(p)
+        # earlier shards may predate a pin growth — re-partition to final caps
+        final = self._halo_slots
+        for i, (b, p) in enumerate(zip(collated, parts)):
+            if (
+                p.atom_type.shape[-1] != final["atom_slots"]
+                or p.edge_src.shape[-1] != final["edge_slots"]
+                or p.halo_send_idx.shape[-1] != final["halo_pair_slots"]
+            ):
+                parts[i] = partition_halo(b, self.halo_shards, **final)
+        return parts
+
     def __iter__(self) -> Iterator[MolBatch]:
         for idx in self._batch_indices():
             if self.stack_devices:
@@ -225,6 +260,8 @@ class BatchLoader:
                         parts = shard_edges(b, self.edge_shards)
                         b = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *parts)
                     shards.append(b)
+                if self.halo_shards > 1:
+                    shards = self._partition_halo_shards(shards)
                 yield jax.tree_util.tree_map(lambda *xs: np.stack(xs), *shards)
             else:
                 yield self._collate(idx)

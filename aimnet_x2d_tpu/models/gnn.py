@@ -142,6 +142,13 @@ class GNN(nn.Module):
         feature_sizes = dict(cfg.feature_sizes)
         A = batch.atom_type.shape[0]
         B = batch.total_charge.shape[0]
+        # Halo mode (parallel/halo.py): atoms are sharded over graph_axis;
+        # MP layers exchange boundary rows, and every atom→molecule
+        # reduction (pooling, charge equilibration) psums its per-molecule
+        # partials over the axis.  Without halo, graph_axis means the
+        # round-1 edge-replicated mode (atoms replicated; no pool psum).
+        halo = batch.halo_send_idx is not None
+        pool_axis = cfg.graph_axis if halo else None
 
         # 1. Embedding lookups (reference gnn.py:262-274)
         embs = []
@@ -188,7 +195,7 @@ class GNN(nn.Module):
         )
         for layer_idx in range(cfg.num_message_passing_layers):
             if cfg.use_partial_charges:
-                x_other = self._charge_equilibration(batch, x_other, B)
+                x_other = self._charge_equilibration(batch, x_other, B, pool_axis)
             if cfg.use_stereochemistry:
                 x_other = self._stereochemistry(batch, x_other, A, stereo_proj)
             layer = layer_cls(
@@ -210,6 +217,7 @@ class GNN(nn.Module):
                     batch.edge_hop,
                     batch.edge_mask,
                     deterministic,
+                    batch.halo_send_idx,
                 )
                 + x_other
             )
@@ -229,6 +237,7 @@ class GNN(nn.Module):
             mol_embeddings, attention_weights = MultiHeadAttentionPooling(
                 num_heads=cfg.attention_num_heads,
                 initial_temperature=cfg.attention_temperature,
+                graph_axis=pool_axis,
                 name="pooling",
             )(
                 atom_embeddings,
@@ -238,11 +247,17 @@ class GNN(nn.Module):
                 deterministic=deterministic,
             )
         elif cfg.pooling_type == "mean":
-            mol_embeddings = mean_pool(atom_embeddings, batch.atom_mol, batch.atom_mask, B)
+            mol_embeddings = mean_pool(
+                atom_embeddings, batch.atom_mol, batch.atom_mask, B, pool_axis
+            )
         elif cfg.pooling_type == "max":
-            mol_embeddings = max_pool(atom_embeddings, batch.atom_mol, batch.atom_mask, B)
+            mol_embeddings = max_pool(
+                atom_embeddings, batch.atom_mol, batch.atom_mask, B, pool_axis
+            )
         elif cfg.pooling_type == "sum":
-            mol_embeddings = sum_pool(atom_embeddings, batch.atom_mol, batch.atom_mask, B)
+            mol_embeddings = sum_pool(
+                atom_embeddings, batch.atom_mol, batch.atom_mask, B, pool_axis
+            )
         else:
             raise ValueError(f"Unsupported pooling type: {cfg.pooling_type}")
 
@@ -273,11 +288,15 @@ class GNN(nn.Module):
 
     # ------------------------------------------------------------------ #
 
-    def _charge_equilibration(self, batch: MolBatch, x_other: jax.Array, B: int) -> jax.Array:
+    def _charge_equilibration(
+        self, batch: MolBatch, x_other: jax.Array, B: int, graph_axis: str | None = None
+    ) -> jax.Array:
         """Partial-charge equilibration (Q3; reference gnn.py:622-658).
 
         Channels 0/1 of x_other are charge q and electronegativity-like f;
         per-molecule sums Q_u, F_u; correction q += (f/F_u)·(Q_total − Q_u).
+        With halo-sharded atoms (``graph_axis``) the per-molecule sums are
+        psum'd so split molecules equilibrate globally.
         """
         q = x_other[:, :1]
         f = jnp.clip(x_other[:, 1:2], min=1e-6)
@@ -286,7 +305,11 @@ class GNN(nn.Module):
         seg = jnp.where(batch.atom_mask, batch.atom_mol, B)
         mask = batch.atom_mask[:, None]
         Q_u = segment_sum(jnp.where(mask, q, 0.0), seg, B)
-        F_u = segment_sum(jnp.where(mask, f, 0.0), seg, B) + 1e-6
+        F_u = segment_sum(jnp.where(mask, f, 0.0), seg, B)
+        if graph_axis is not None:
+            Q_u = jax.lax.psum(Q_u, graph_axis)
+            F_u = jax.lax.psum(F_u, graph_axis)
+        F_u = F_u + 1e-6
         F_u = jnp.clip(F_u, min=1e-6)
 
         dQ = batch.total_charge[:, None] - Q_u

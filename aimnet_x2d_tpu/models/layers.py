@@ -114,6 +114,7 @@ class ShellConvolutionLayer(nn.Module):
         edge_hop: jax.Array,  # (E,) 1..K, padding 0
         edge_mask: jax.Array,  # (E,) bool
         deterministic: bool = True,  # positional-friendly for nn.remat
+        halo_send_idx: jax.Array | None = None,  # (G, Hp) halo mode
     ) -> jax.Array:
         A, D = x.shape
         K = self.num_hops
@@ -140,17 +141,33 @@ class ShellConvolutionLayer(nn.Module):
         )
 
         dt = self.dtype
-        src_feat = jnp.where(edge_mask[:, None], x[edge_src], 0.0)
+        if halo_send_idx is not None:
+            # Halo mode: atoms are sharded over graph_axis; gather sources
+            # from [own atoms ‖ exchanged boundary rows].  Every edge's dst
+            # is local by construction, so the segment_sum below is already
+            # the complete neighborhood sum — no psum.
+            from ..ops.halo import halo_exchange
+
+            assert self.graph_axis is not None, "halo mode requires graph_axis"
+            x_ext = jnp.concatenate(
+                [x, halo_exchange(x, halo_send_idx, self.graph_axis)], axis=0
+            )
+        else:
+            x_ext = x
+        src_feat = jnp.where(edge_mask[:, None], x_ext[edge_src], 0.0)
         if dt is not None:
             # accumulate the scatter in fp32 regardless of activation dtype
             src_feat = src_feat.astype(jnp.float32)
+        # Edge-replicated mode: atoms are replicated and each device holds an
+        # edge shard, so the partial sums must be psum'd.
+        need_psum = self.graph_axis is not None and halo_send_idx is None
 
         if self.parity_mode:
             # Union-of-hops aggregation (Q1 semantics): hop chunks 1..K-1 are
             # identically zero, so only the first 2D rows of the kernels see
             # data — compute just those rows.
             agg = segment_sum(src_feat, edge_dst, A)
-            if self.graph_axis is not None:
+            if need_psum:
                 agg = jax.lax.psum(agg, self.graph_axis)
             inp = jnp.concatenate([x, agg.astype(x.dtype)], axis=-1)  # (A, 2D)
             used = 2 * D
@@ -159,7 +176,7 @@ class ShellConvolutionLayer(nn.Module):
             # by (hop-1)*A + dst, then unstack per hop.
             flat_idx = jnp.where(edge_mask, (edge_hop - 1) * A + edge_dst, K * A)
             agg = segment_sum(src_feat, flat_idx, K * A).reshape(K, A, D)
-            if self.graph_axis is not None:
+            if need_psum:
                 agg = jax.lax.psum(agg, self.graph_axis)
             inp = jnp.concatenate(
                 [x] + [agg[h].astype(x.dtype) for h in range(K)], axis=-1

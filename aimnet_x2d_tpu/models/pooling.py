@@ -19,20 +19,44 @@ from .layers import Linear
 
 POOLING_TYPES = ("attention", "mean", "max", "sum")
 
+# ``graph_axis``: set when atoms are halo-sharded over a mesh axis
+# (parallel/halo.py) — each device pools its local atoms and the
+# per-molecule partials are combined with a small (B, D) collective; a
+# molecule split across devices is thereby pooled exactly.
 
-def mean_pool(x, atom_mol, atom_mask, num_graphs):
+
+def mean_pool(x, atom_mol, atom_mask, num_graphs, graph_axis=None):
+    seg = jnp.where(atom_mask, atom_mol, num_graphs)
+    if graph_axis is None:
+        x = jnp.where(atom_mask[:, None], x, 0.0)
+        return segment_mean(x, seg, num_graphs)
     x = jnp.where(atom_mask[:, None], x, 0.0)
-    return segment_mean(x, jnp.where(atom_mask, atom_mol, num_graphs), num_graphs)
+    totals = jax.lax.psum(segment_sum(x, seg, num_graphs), graph_axis)
+    counts = jax.lax.psum(
+        segment_sum(atom_mask.astype(x.dtype), seg, num_graphs), graph_axis
+    )
+    return totals / jnp.maximum(counts, 1.0)[:, None]
 
 
-def max_pool(x, atom_mol, atom_mask, num_graphs):
+def max_pool(x, atom_mol, atom_mask, num_graphs, graph_axis=None):
     x = jnp.where(atom_mask[:, None], x, -jnp.inf)
-    return segment_max(x, jnp.where(atom_mask, atom_mol, num_graphs), num_graphs)
+    seg = jnp.where(atom_mask, atom_mol, num_graphs)
+    if graph_axis is None:
+        return segment_max(x, seg, num_graphs)
+    out = jax.ops.segment_max(x, seg, num_segments=num_graphs)
+    # all_gather + max keeps the gradient path to the argmax device
+    # (pmax has no differentiation rule); (G, B, D) is a small collective
+    out = jnp.max(jax.lax.all_gather(out, graph_axis), axis=0)
+    # empty segments give -inf on every device; fill 0 like segment_max
+    return jnp.where(jnp.isneginf(out), jnp.zeros((), out.dtype), out)
 
 
-def sum_pool(x, atom_mol, atom_mask, num_graphs):
+def sum_pool(x, atom_mol, atom_mask, num_graphs, graph_axis=None):
     x = jnp.where(atom_mask[:, None], x, 0.0)
-    return segment_sum(x, jnp.where(atom_mask, atom_mol, num_graphs), num_graphs)
+    out = segment_sum(x, jnp.where(atom_mask, atom_mol, num_graphs), num_graphs)
+    if graph_axis is not None:
+        out = jax.lax.psum(out, graph_axis)
+    return out
 
 
 class MultiHeadAttentionPooling(nn.Module):
@@ -48,6 +72,7 @@ class MultiHeadAttentionPooling(nn.Module):
     num_heads: int = 4
     initial_temperature: float = 1.0
     dropout_prob: float = 0.0
+    graph_axis: str | None = None  # halo-sharded atoms: see module comment
 
     @nn.compact
     def __call__(self, x, atom_mol, atom_mask, num_graphs, *, deterministic=True):
@@ -62,10 +87,30 @@ class MultiHeadAttentionPooling(nn.Module):
         scores = jnp.stack(scores, axis=0)  # (H, A)
 
         seg_ids = jnp.where(atom_mask, atom_mol, num_graphs)
-        attn = segment_softmax(scores, seg_ids, num_graphs, mask=atom_mask)  # (H, A)
+        if self.graph_axis is None:
+            attn = segment_softmax(scores, seg_ids, num_graphs, mask=atom_mask)
+        else:
+            # Cross-device segment softmax: global per-molecule max (pmax)
+            # and normalizer (psum) make split molecules exact.
+            masked = jnp.where(atom_mask, scores, -jnp.inf)
+            seg_max = jax.vmap(
+                lambda s: jax.ops.segment_max(s, seg_ids, num_segments=num_graphs)
+            )(masked)
+            # stability shift only — mathematically gradient-free (cancels in
+            # the softmax), and pmax has no differentiation rule
+            seg_max = jax.lax.stop_gradient(
+                jax.lax.pmax(jax.lax.stop_gradient(seg_max), self.graph_axis)
+            )
+            seg_max = jnp.where(jnp.isneginf(seg_max), 0.0, seg_max)
+            expd = jnp.where(atom_mask, jnp.exp(masked - seg_max[:, seg_ids]), 0.0)
+            denom = jax.vmap(lambda e: segment_sum(e, seg_ids, num_graphs))(expd)
+            denom = jax.lax.psum(denom, self.graph_axis)
+            attn = expd / jnp.maximum(denom[:, seg_ids], 1e-16)
 
         weighted = x[None, :, :] * attn[:, :, None]  # (H, A, D)
         pooled = jax.vmap(lambda w: segment_sum(w, seg_ids, num_graphs))(weighted)
+        if self.graph_axis is not None:
+            pooled = jax.lax.psum(pooled, self.graph_axis)
         pooled = pooled.mean(axis=0)  # (B, D)
 
         if self.dropout_prob > 0:

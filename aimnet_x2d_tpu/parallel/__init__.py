@@ -1,3 +1,4 @@
+from .halo import HaloStats, partition_halo
 from .mesh import create_mesh, data_parallel_specs
 
-__all__ = ["create_mesh", "data_parallel_specs"]
+__all__ = ["HaloStats", "create_mesh", "data_parallel_specs", "partition_halo"]

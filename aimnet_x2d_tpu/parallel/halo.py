@@ -1,0 +1,248 @@
+"""Host-side halo partitioner: atoms+edges sharded over the 'graph' axis.
+
+Implements docs/DESIGN_halo_exchange.md.  The collated batch's atoms are
+split into G contiguous blocks at molecule boundaries (molecule-granular
+first-fit; a molecule larger than a block's capacity is split across
+consecutive devices).  Each edge lives on the owner of its *destination*
+atom, so aggregation is complete locally; only the remote source atoms
+actually referenced by local edges — the halo — are exchanged per layer
+via `lax.all_to_all` (ops/halo.py).  Because molecular graphs are disjoint
+unions of molecules, whole-molecule placement makes the halo empty; cut
+edges only arise from split molecules, so H ≪ A by construction.
+
+Capability replaced: the reference scales only by DDP over whole graphs
+(reference: src/utils/distributed.py:12-228); this shards per-device atom
+memory, edge compute, and collective volume by 1/G.
+
+The train step for halo batches is
+``parallel.graph_parallel.make_graph_parallel_train_step`` unchanged: the
+model detects halo mode from ``batch.halo_send_idx`` and switches the MP
+layers to boundary exchange and the pooling/charge-equilibration
+reductions to per-molecule psums.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from ..data.batching import MolBatch, bucket_size
+
+__all__ = ["partition_halo", "HaloStats"]
+
+
+@dataclasses.dataclass
+class HaloStats:
+    total_atoms: int
+    atom_slots_per_device: int
+    edge_slots_per_device: int
+    halo_pair_slots: int
+    halo_rows: int  # unique remote rows exchanged (all pairs)
+    cut_edges: int
+    split_molecules: int
+
+    @property
+    def halo_fraction(self) -> float:
+        return self.halo_rows / max(self.total_atoms, 1)
+
+
+def _device_cuts(mol_of: np.ndarray, total_atoms: int, G: int) -> List[int]:
+    """Contiguous atom ranges per device, snapped down to molecule
+    boundaries when one exists within the device's capacity (so whole
+    molecules stay on one device); otherwise the molecule is split."""
+    boundaries = np.flatnonzero(np.diff(mol_of)) + 1  # molecule starts > 0
+    cuts = [0]
+    cur = 0
+    for g in range(G):
+        remaining = total_atoms - cur
+        rem_dev = G - g
+        cap = math.ceil(remaining / rem_dev)
+        end = min(cur + cap, total_atoms)
+        if end < total_atoms:
+            lo = np.searchsorted(boundaries, cur, side="right")
+            hi = np.searchsorted(boundaries, end, side="right")
+            if hi > lo:  # a molecule boundary exists in (cur, end]
+                end = int(boundaries[hi - 1])
+        cuts.append(end)
+        cur = end
+    return cuts
+
+
+def partition_halo(
+    batch: MolBatch,
+    num_devices: int,
+    *,
+    atom_slots: int | None = None,
+    edge_slots: int | None = None,
+    halo_pair_slots: int | None = None,
+    return_stats: bool = False,
+):
+    """Partition a collated batch into ``num_devices`` halo shards.
+
+    Returns a MolBatch whose leaves carry a leading (G, ...) device axis
+    (feed through shard_map with the 'graph' axis; see
+    graph_parallel.make_graph_parallel_train_step), plus a HaloStats when
+    ``return_stats``.  The slot arguments are *minimums*: actual slots are
+    max(bucketed need, given), so callers can pin static shapes across
+    batches by feeding back the previous stats.  Raises ValueError if a
+    stereo row's atoms span a device boundary (only possible for split
+    molecules).
+    """
+    G = num_devices
+    A = batch.num_atom_slots
+    Bslots = batch.num_graph_slots
+    atom_mask = np.asarray(batch.atom_mask)
+    total_atoms = int(atom_mask.sum())
+    if total_atoms == 0:
+        raise ValueError("cannot halo-partition an empty batch")
+    if not atom_mask[:total_atoms].all():
+        raise ValueError("packed atoms must be a prefix (collate layout)")
+    mol_of = np.asarray(batch.atom_mol[:total_atoms])
+
+    cuts = _device_cuts(mol_of, total_atoms, G)
+    widths = [cuts[g + 1] - cuts[g] for g in range(G)]
+    A_loc = max(atom_slots or 0, bucket_size(max(max(widths), 1)))
+
+    owner = np.searchsorted(np.asarray(cuts[1:]), np.arange(total_atoms), side="right")
+    starts = np.asarray(cuts[:-1])
+
+    # molecules spanning >1 device
+    mol_first = np.unique(mol_of, return_index=True)[1]
+    mol_last = total_atoms - 1 - np.unique(mol_of[::-1], return_index=True)[1]
+    split_molecules = int(np.sum(owner[mol_first] != owner[mol_last]))
+
+    # --- edges (real only) ---
+    em = np.asarray(batch.edge_mask)
+    src = np.asarray(batch.edge_src)[em]
+    dst = np.asarray(batch.edge_dst)[em]
+    hop = np.asarray(batch.edge_hop)[em]
+    own_s = owner[src]
+    own_d = owner[dst]
+    cross = own_s != own_d
+    cut_edges = int(cross.sum())
+
+    # --- halo lists: sorted unique sources per (sender p -> receiver g) ---
+    halo_lists: Dict[Tuple[int, int], np.ndarray] = {}
+    if cut_edges:
+        keys = own_s[cross] * G + own_d[cross]
+        uniq = np.unique(np.stack([keys, src[cross]], axis=1), axis=0)
+        for k in np.unique(uniq[:, 0]):
+            rows = uniq[uniq[:, 0] == k, 1]
+            halo_lists[(int(k) // G, int(k) % G)] = rows
+    halo_rows = sum(len(v) for v in halo_lists.values())
+    max_pair = max((len(v) for v in halo_lists.values()), default=0)
+    Hp = max(halo_pair_slots or 0, bucket_size(max(max_pair, 1)))
+
+    # send maps: send_idx[p][g] = local indices on p sent to g (pad -1)
+    send_idx = np.full((G, G, Hp), -1, np.int32)
+    for (p, g), rows in halo_lists.items():
+        send_idx[p, g, : len(rows)] = rows - starts[p]
+
+    # --- per-device edge rewrite ---
+    per_dev_counts = [int(np.sum(own_d == g)) for g in range(G)]
+    E_loc = max(edge_slots or 0, bucket_size(max(max(per_dev_counts), 1)))
+
+    # halo rank of each cross edge's source on its receiver
+    new_src = src - starts[own_s]  # local on sender == local on receiver if same
+    if cut_edges:
+        idx = np.flatnonzero(cross)
+        ranks = np.empty(len(idx), np.int64)
+        for j, e in enumerate(idx):
+            rows = halo_lists[(int(own_s[e]), int(own_d[e]))]
+            ranks[j] = np.searchsorted(rows, src[e])
+        new_src[idx] = A_loc + own_s[idx] * Hp + ranks
+
+    def _slice_pad(arr: np.ndarray, g: int, fill) -> np.ndarray:
+        piece = arr[cuts[g] : cuts[g + 1]]
+        pad = [(0, A_loc - piece.shape[0])] + [(0, 0)] * (piece.ndim - 1)
+        return np.pad(piece, pad, constant_values=fill)
+
+    # --- stereo rows: assigned to the device owning ALL referenced atoms ---
+    def _stereo_rows(rows: np.ndarray, mask: np.ndarray, what: str):
+        rows = np.asarray(rows)
+        mask = np.asarray(mask)
+        real = rows[mask]
+        if real.size:
+            own_rows = owner[np.clip(real, 0, total_atoms - 1)]
+            if (own_rows != own_rows[..., :1]).any():
+                raise ValueError(
+                    f"{what} row spans a device boundary (a split molecule cut "
+                    "through a stereocenter); repartition with fewer shards"
+                )
+            row_owner = own_rows[..., 0]
+        else:
+            row_owner = np.zeros(0, np.int64)
+        out_rows, out_masks = [], []
+        for g in range(G):
+            sel = real[row_owner == g] - starts[g] if real.size else real.reshape((0,) + rows.shape[1:])
+            padded = np.full(rows.shape, A_loc, np.int32)
+            m = np.zeros(mask.shape, bool)
+            padded[: len(sel)] = sel
+            m[: len(sel)] = True
+            out_rows.append(padded)
+            out_masks.append(m)
+        return out_rows, out_masks
+
+    tet_rows, tet_masks = _stereo_rows(batch.tet_nbrs, batch.tet_mask, "tetrahedral")
+    cis_rows, cis_masks = _stereo_rows(batch.cis_pairs, batch.cis_mask, "cis")
+    trans_rows, trans_masks = _stereo_rows(batch.trans_pairs, batch.trans_mask, "trans")
+
+    shards = []
+    for g in range(G):
+        sel = own_d == g
+        s_g, d_g, h_g = new_src[sel], dst[sel] - starts[g], hop[sel]
+        if len(d_g):
+            order = np.lexsort((d_g, h_g))
+            s_g, d_g, h_g = s_g[order], d_g[order], h_g[order]
+        e_src = np.zeros(E_loc, np.int32)
+        e_dst = np.full(E_loc, A_loc, np.int32)
+        e_hop = np.zeros(E_loc, np.int32)
+        e_mask = np.zeros(E_loc, bool)
+        e_src[: len(s_g)] = s_g
+        e_dst[: len(d_g)] = d_g
+        e_hop[: len(h_g)] = h_g
+        e_mask[: len(s_g)] = True
+
+        shards.append(
+            MolBatch(
+                atom_type=_slice_pad(np.asarray(batch.atom_type), g, 0),
+                hydrogen_count=_slice_pad(np.asarray(batch.hydrogen_count), g, 0),
+                degree=_slice_pad(np.asarray(batch.degree), g, 0),
+                hybridization=_slice_pad(np.asarray(batch.hybridization), g, 0),
+                atom_mol=_slice_pad(mol_of.astype(np.int32), g, Bslots),
+                atom_mask=_slice_pad(atom_mask[:total_atoms], g, False),
+                edge_src=e_src,
+                edge_dst=e_dst,
+                edge_hop=e_hop,
+                edge_mask=e_mask,
+                total_charge=np.asarray(batch.total_charge),
+                targets=np.asarray(batch.targets),
+                graph_mask=np.asarray(batch.graph_mask),
+                tet_nbrs=tet_rows[g],
+                tet_mask=tet_masks[g],
+                cis_pairs=cis_rows[g],
+                cis_mask=cis_masks[g],
+                trans_pairs=trans_rows[g],
+                trans_mask=trans_masks[g],
+                halo_send_idx=send_idx[g],
+            )
+        )
+
+    import jax
+
+    stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *shards)
+    if return_stats:
+        stats = HaloStats(
+            total_atoms=total_atoms,
+            atom_slots_per_device=A_loc,
+            edge_slots_per_device=E_loc,
+            halo_pair_slots=Hp,
+            halo_rows=halo_rows,
+            cut_edges=cut_edges,
+            split_molecules=split_molecules,
+        )
+        return stacked, stats
+    return stacked

@@ -24,7 +24,12 @@ def compute_metrics(
     preds: np.ndarray, targets: np.ndarray, per_task: bool = True
 ) -> Dict[str, Any]:
     """MAE / RMSE / R² with sklearn conventions (R² of constant targets → 0
-    handled as in sklearn: returns 0.0 when variance is 0)."""
+    handled as in sklearn: returns 0.0 when variance is 0).
+
+    Multitask aggregation parity: the reference computes each metric
+    per task and reports the *mean over tasks* as the overall value
+    (reference: src/training/evaluator.py:189-228), which differs from
+    pooled aggregation whenever task variances differ."""
     preds = np.asarray(preds, np.float64)
     targets = np.asarray(targets, np.float64)
     err = preds - targets
@@ -34,18 +39,24 @@ def compute_metrics(
         ss_tot = np.sum((t - t.mean(axis=0)) ** 2)
         return float(1.0 - ss_res / ss_tot) if ss_tot > 0 else 0.0
 
-    out: Dict[str, Any] = {
+    multitask = preds.ndim == 2 and preds.shape[1] > 1
+    if multitask:
+        mae_t = [float(np.mean(np.abs(err[:, t]))) for t in range(preds.shape[1])]
+        rmse_t = [float(np.sqrt(np.mean(err[:, t] ** 2))) for t in range(preds.shape[1])]
+        r2_t = [r2(preds[:, t], targets[:, t]) for t in range(preds.shape[1])]
+        out: Dict[str, Any] = {
+            "mae": float(np.mean(mae_t)),
+            "rmse": float(np.mean(rmse_t)),
+            "r2": float(np.mean(r2_t)),
+        }
+        if per_task:
+            out["per_task"] = {"mae": mae_t, "rmse": rmse_t, "r2": r2_t}
+        return out
+    return {
         "mae": float(np.mean(np.abs(err))),
         "rmse": float(np.sqrt(np.mean(err**2))),
         "r2": r2(preds, targets),
     }
-    if per_task and preds.ndim == 2 and preds.shape[1] > 1:
-        out["per_task"] = {
-            "mae": [float(np.mean(np.abs(err[:, t]))) for t in range(preds.shape[1])],
-            "rmse": [float(np.sqrt(np.mean(err[:, t] ** 2))) for t in range(preds.shape[1])],
-            "r2": [r2(preds[:, t], targets[:, t]) for t in range(preds.shape[1])],
-        }
-    return out
 
 
 # Jitted-forward cache keyed by model *config* (GNNConfig is a frozen,
@@ -81,15 +92,58 @@ def _forward_fn(model: GNN):
     return forward_fn(model, "predictions")
 
 
+# Sharded-forward cache keyed by (model config, mesh axis sizes): one
+# shard_mapped executable per architecture/mesh combination.
+_SHARDED_CACHE: Dict[Any, Any] = {}
+
+
+def sharded_forward_fn(model: GNN, mesh):
+    """shard_mapped eval forward over stacked (n_dev, ...) batches: each
+    device runs its own shard (the round-1 vmap fallback serialized the
+    whole stacked batch onto one device)."""
+    from jax.sharding import PartitionSpec as P
+
+    key = (type(model).__name__, model.config, tuple(sorted(mesh.shape.items())))
+    if key not in _SHARDED_CACHE:
+        if len(_SHARDED_CACHE) >= _FORWARD_CACHE_MAX:
+            _SHARDED_CACHE.pop(next(iter(_SHARDED_CACHE)))
+        axes = tuple(mesh.axis_names)
+
+        def local_fwd(params, batch):
+            local = jax.tree_util.tree_map(lambda x: x[0], batch)
+            preds = model.apply(params, local, deterministic=True).predictions
+            return preds[None]
+
+        smapped = jax.shard_map(
+            local_fwd,
+            mesh=mesh,
+            in_specs=(P(), P(axes)),
+            out_specs=P(axes),
+        )
+        _SHARDED_CACHE[key] = jax.jit(smapped)
+    return _SHARDED_CACHE[key]
+
+
 def predict_batches(model: GNN, params, loader, *, mesh=None):
-    """Run the model over a loader, returning unpadded (preds, targets)."""
+    """Run the model over a loader, returning unpadded (preds, targets).
+
+    Stacked (n_dev, ...) batches are distributed over ``mesh`` via
+    shard_map when given (reference DDP eval: src/training/evaluator.py:
+    158-187 gathers to rank 0; here the gather is the XLA output layout).
+    """
     fwd = _forward_fn(model)
+    sharded_fwd = None
     preds_list, tgt_list = [], []
     for batch in loader:
         stacked = batch.atom_type.ndim == 2  # (n_dev, A) stacked loader
-        preds = fwd(params, batch) if not stacked else jax.vmap(
-            lambda b: fwd(params, b)
-        )(batch)
+        if stacked and mesh is not None:
+            if sharded_fwd is None:
+                sharded_fwd = sharded_forward_fn(model, mesh)
+            preds = sharded_fwd(params, batch)
+        elif stacked:
+            preds = jax.vmap(lambda b: fwd(params, b))(batch)
+        else:
+            preds = fwd(params, batch)
         preds = np.asarray(preds)
         if stacked:
             mask = np.asarray(batch.graph_mask).reshape(-1)

@@ -198,6 +198,49 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0, 1))
 
 
+def prefetch_batches(loader, sharding=None, size: int = 2):
+    """Background-thread prefetch: collate the next batches while the device
+    computes, `jax.device_put` them ahead of use (with ``sharding`` when
+    given, so shard_mapped steps see correctly-placed inputs), and count
+    real edges on host before the transfer.
+
+    Yields (device_batch, real_edge_count).  The reference's DataLoader
+    worker processes play this role (SURVEY §7: double-buffered host
+    prefetch); here one thread suffices because collation is numpy-bound.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    sentinel = object()
+    errors: List[BaseException] = []
+
+    def worker():
+        try:
+            for batch in loader:
+                edges = int(np.sum(np.asarray(batch.edge_mask)))
+                if sharding is not None:
+                    batch = jax.device_put(batch, sharding)
+                else:
+                    batch = jax.device_put(batch)
+                q.put((batch, edges))
+        except BaseException as e:  # surface collate errors in the main thread
+            errors.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            break
+        yield item
+    t.join()
+    if errors:
+        raise errors[0]
+
+
 def train(
     model: GNN,
     params,
@@ -267,23 +310,31 @@ def train(
             {k[len("sched_"):]: v for k, v in restored_aux.items() if k.startswith("sched_")}
         )
 
+    # Sharding for prefetched stacked batches (leading device axis over the
+    # whole mesh); None → default-device placement.
+    batch_sharding = None
+    if mesh is not None:
+        batch_sharding = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+
     for epoch in range(start_epoch, config.epochs):
         t0 = time.time()
         train_loader.set_epoch(epoch)
-        loss_sum = 0.0
-        n_sum = 0.0
+        # Per-step (loss, n) stay on device — fetching them every step would
+        # force a blocking round-trip per step (round-1 weakness); one
+        # device_get at epoch end drains the async dispatch queue instead.
+        step_stats: List[Tuple[jax.Array, jax.Array]] = []
         edges = 0
-        for batch in train_loader:
+        for batch, batch_edges in prefetch_batches(train_loader, batch_sharding):
             rng, dropout_rng = jax.random.split(rng)
-            edges += int(np.sum(np.asarray(batch.edge_mask)))
+            edges += batch_edges
             params, opt_state, loss, n = step(
                 params, opt_state, batch, jnp.float32(lr), dropout_rng
             )
-            nf = float(n)
-            loss_sum += float(loss) * nf
-            n_sum += nf
-        jax.block_until_ready(loss)
+            step_stats.append((loss, n))
+        stats = jax.device_get(step_stats)
         train_seconds = time.time() - t0
+        loss_sum = sum(float(l) * float(n) for l, n in stats)
+        n_sum = sum(float(n) for _, n in stats)
         train_loss = loss_sum / max(n_sum, 1.0)
 
         val_metrics = evaluate(
