@@ -28,13 +28,20 @@ from __future__ import annotations
 
 import json
 import math
-from typing import Iterator, List, Optional, Sequence
+from typing import Iterator, List, Optional, Sequence, Tuple
 
 import h5py
 import numpy as np
 
 from .batching import MolBatch, MolFeatures, bucket_size, collate
 from .dataset import BatchLoader, MoleculeDataset, featurize_many
+from .preprocessing import (
+    MAX_ATOMIC_NUM,
+    PreprocessingConfig,
+    PreprocessingPipeline,
+    SAENormalizer,
+    StandardScaler,
+)
 
 
 def _decode(s) -> str:
@@ -174,6 +181,331 @@ def write_hdf5_from_smiles(
     return len(ds)
 
 
+class HDF5AppendWriter:
+    """Chunk-appendable columnar writer: build arbitrarily large datasets
+    without ever holding more than one featurized chunk in RAM (the
+    capability of reference src/datasets/features.py:381-613's chunked
+    pickled writer, on the columnar schema).
+
+    Usage: ``append(feats, targets, smiles)`` per chunk, then ``finalize``.
+    """
+
+    _ATOM_COLS = (
+        ("atom_type", np.int16),
+        ("hydrogen_count", np.int8),
+        ("degree", np.int8),
+        ("hybridization", np.int8),
+        ("atomic_numbers", np.int16),
+    )
+
+    def __init__(self, path: str, max_hops: int, num_tasks: int):
+        self.path = path
+        self.max_hops = max_hops
+        self.num_tasks = num_tasks
+        self._file = h5py.File(path, "w")
+        self._n = 0
+        self._atom_counts: List[np.ndarray] = []
+        self._edge_counts: List[np.ndarray] = []
+        self._tet_counts: List[np.ndarray] = []
+        self._cis_counts: List[np.ndarray] = []
+        self._trans_counts: List[np.ndarray] = []
+
+        f = self._file
+        opts = dict(compression="gzip", compression_opts=1)
+
+        def _make(group, name, dtype, inner=(), compress=True):
+            kw = dict(opts) if compress else {}
+            group.create_dataset(
+                name,
+                shape=(0,) + inner,
+                maxshape=(None,) + inner,
+                dtype=dtype,
+                chunks=(65536,) + inner,
+                **kw,
+            )
+
+        ga = f.create_group("atoms")
+        for key, dt in self._ATOM_COLS:
+            _make(ga, key, dt)
+        ge = f.create_group("edges")
+        _make(ge, "dst", np.int32)
+        _make(ge, "src", np.int32)
+        _make(ge, "hop", np.int8)
+        gs = f.create_group("stereo")
+        _make(gs, "tet", np.int32, (4,), compress=False)
+        _make(gs, "cis", np.int32, (2,), compress=False)
+        _make(gs, "trans", np.int32, (2,), compress=False)
+        gg = f.create_group("graphs")
+        _make(gg, "targets", np.float32, (num_tasks,))
+        _make(gg, "total_charge", np.float32, compress=False)
+        gg.create_dataset(
+            "smiles",
+            shape=(0,),
+            maxshape=(None,),
+            dtype=h5py.special_dtype(vlen=str),
+            chunks=(65536,),
+        )
+
+    @staticmethod
+    def _extend(ds, data):
+        n0 = ds.shape[0]
+        ds.resize(n0 + len(data), axis=0)
+        ds[n0:] = data
+
+    def append(self, feats: Sequence[MolFeatures], targets: np.ndarray, smiles: Sequence[str]) -> None:
+        if not feats:
+            return
+        f = self._file
+        targets = np.asarray(targets, np.float32)
+        if targets.ndim == 1:
+            targets = targets[:, None]
+
+        for key, dt in self._ATOM_COLS:
+            self._extend(
+                f["atoms"][key], np.concatenate([getattr(m, key) for m in feats]).astype(dt)
+            )
+        self._atom_counts.append(np.array([m.num_atoms for m in feats], np.int64))
+
+        dsts, srcs, hops, ecounts = [], [], [], []
+        for m in feats:
+            cnt = 0
+            for h, e in enumerate(m.edge_hops):
+                if e.shape[1]:
+                    dsts.append(e[0])
+                    srcs.append(e[1])
+                    hops.append(np.full(e.shape[1], h + 1, np.int8))
+                    cnt += e.shape[1]
+            ecounts.append(cnt)
+        if dsts:
+            self._extend(f["edges/dst"], np.concatenate(dsts).astype(np.int32))
+            self._extend(f["edges/src"], np.concatenate(srcs).astype(np.int32))
+            self._extend(f["edges/hop"], np.concatenate(hops))
+        self._edge_counts.append(np.asarray(ecounts, np.int64))
+
+        for name, key, counts in (
+            ("tet", "tet_nbrs", self._tet_counts),
+            ("cis", "cis_pairs", self._cis_counts),
+            ("trans", "trans_pairs", self._trans_counts),
+        ):
+            rows = [np.asarray(getattr(m, key)).reshape(-1, 4 if name == "tet" else 2) for m in feats]
+            counts.append(np.array([r.shape[0] for r in rows], np.int64))
+            cat = np.concatenate(rows).astype(np.int32) if rows else None
+            if cat is not None and cat.size:
+                self._extend(f[f"stereo/{name}"], cat)
+
+        self._extend(f["graphs/targets"], targets)
+        self._extend(
+            f["graphs/total_charge"], np.array([m.total_charge for m in feats], np.float32)
+        )
+        self._extend(
+            f["graphs/smiles"], np.array(list(smiles), dtype=h5py.special_dtype(vlen=str))
+        )
+        self._n += len(feats)
+
+    def finalize(
+        self,
+        *,
+        target_columns: Optional[Sequence[str]] = None,
+        preprocessing_state: Optional[dict] = None,
+    ) -> int:
+        f = self._file
+
+        def _offsets(chunks):
+            counts = np.concatenate(chunks) if chunks else np.zeros(0, np.int64)
+            return np.concatenate([[0], np.cumsum(counts)]).astype(np.int64), counts
+
+        atom_off, atom_counts = _offsets(self._atom_counts)
+        edge_off, edge_counts = _offsets(self._edge_counts)
+        tet_off, tet_counts = _offsets(self._tet_counts)
+        cis_off, cis_counts = _offsets(self._cis_counts)
+        trans_off, trans_counts = _offsets(self._trans_counts)
+        f["atoms"].create_dataset("offsets", data=atom_off)
+        f["edges"].create_dataset("offsets", data=edge_off)
+        f["stereo"].create_dataset("tet_offsets", data=tet_off)
+        f["stereo"].create_dataset("cis_offsets", data=cis_off)
+        f["stereo"].create_dataset("trans_offsets", data=trans_off)
+
+        meta = f.create_group("metadata")
+        meta.attrs["num_molecules"] = self._n
+        meta.attrs["max_hops"] = self.max_hops
+        meta.attrs["num_tasks"] = self.num_tasks
+        meta.attrs["max_atoms_per_mol"] = int(atom_counts.max()) if self._n else 0
+        meta.attrs["max_edges_per_mol"] = int(edge_counts.max()) if self._n else 0
+        meta.attrs["max_tet_per_mol"] = int(tet_counts.max()) if self._n else 0
+        meta.attrs["max_pairs_per_mol"] = int(
+            max(cis_counts.max() if self._n else 0, trans_counts.max() if self._n else 0)
+        )
+        if target_columns is not None:
+            meta.attrs["target_columns"] = json.dumps(list(target_columns))
+        if preprocessing_state is not None:
+            meta.attrs["preprocessing"] = json.dumps(preprocessing_state)
+        f.close()
+        return self._n
+
+
+def write_hdf5_streaming(
+    path: str,
+    smiles: Sequence[str],
+    targets: np.ndarray,
+    max_hops: int,
+    *,
+    chunk_size: int = 8192,
+    num_workers: int = 0,
+    target_columns: Optional[Sequence[str]] = None,
+    preprocessing_state: Optional[dict] = None,
+) -> int:
+    """Featurize + append in chunks — peak RAM is one chunk, not the
+    dataset (the reference equivalent: src/datasets/features.py:381-613).
+    Invalid SMILES are dropped with their targets.  Returns kept count.
+    """
+    targets = np.asarray(targets, np.float32)
+    if targets.ndim == 1:
+        targets = targets[:, None]
+    writer = HDF5AppendWriter(path, max_hops, targets.shape[1])
+    for i in range(0, len(smiles), chunk_size):
+        s, t, feats = featurize_many(
+            list(smiles[i : i + chunk_size]),
+            targets[i : i + chunk_size],
+            max_hops,
+            num_workers,
+        )
+        writer.append(feats, t, s)
+    return writer.finalize(
+        target_columns=target_columns, preprocessing_state=preprocessing_state
+    )
+
+
+def _chunk_count_matrix(nums_flat: np.ndarray, splits: np.ndarray, n: int) -> np.ndarray:
+    """(n, 119) per-molecule element-count rows from a flat atomic-number
+    slice and intra-chunk molecule split points."""
+    C = np.zeros((n, MAX_ATOMIC_NUM), np.float64)
+    mol_id = np.repeat(np.arange(n), np.diff(splits))
+    z = np.clip(nums_flat.astype(np.int64), 0, MAX_ATOMIC_NUM - 1)
+    np.add.at(C, (mol_id, z), 1.0)
+    return C
+
+
+def fit_pipeline_streaming(
+    path: str, config: PreprocessingConfig, chunk_size: int = 65536
+) -> PreprocessingPipeline:
+    """Fit SAE + scaler over an HDF5 dataset in one chunked pass.
+
+    Out-of-core equivalent of PreprocessingPipeline.fit: the SAE least
+    squares is solved from accumulated normal equations (A^T A, A^T b over
+    percentile-filtered rows — identical solution to the in-memory
+    lstsq up to conditioning; cross-validated in tests), and the scaler
+    moments of the SAE-shifted targets come from the same accumulators, so
+    atomic numbers are read exactly once.  Targets (N, T) stay in RAM —
+    they are small; the featurized graph data never loads.
+    """
+    pipe = PreprocessingPipeline(config)
+    with h5py.File(path, "r") as f:
+        targets = np.asarray(f["graphs/targets"][:], np.float64)
+        N, T = targets.shape
+        atom_off = f["atoms/offsets"][:]
+
+        sae_tasks: List[Tuple] = []  # (key, column)
+        if config.apply_sae:
+            if config.task_type == "regression":
+                sae_tasks = [("regression", 0)]
+            elif config.sae_subtasks is None:
+                raise ValueError(
+                    "multitask SAE requires sae_subtasks"
+                )
+            else:
+                for st in config.sae_subtasks:
+                    if st >= T:
+                        raise ValueError(f"Subtask index {st} >= number of targets {T}")
+                sae_tasks = [(st, st) for st in config.sae_subtasks]
+
+        # percentile masks computed on the (in-RAM) raw targets, as the
+        # in-memory solver does (preprocessing.py compute_sae_dict)
+        pc = config.sae_percentile_cutoff
+        masks = {}
+        for key, col in sae_tasks:
+            b = targets[:, col]
+            lo, hi = np.percentile(b, [pc, 100.0 - pc])
+            masks[key] = (b >= lo) & (b <= hi)
+
+        # accumulators
+        AtA = {k: np.zeros((MAX_ATOMIC_NUM, MAX_ATOMIC_NUM)) for k, _ in sae_tasks}
+        Atb = {k: np.zeros(MAX_ATOMIC_NUM) for k, _ in sae_tasks}
+        Scc = np.zeros((MAX_ATOMIC_NUM, MAX_ATOMIC_NUM))  # unfiltered, for scaler
+        Sc = np.zeros(MAX_ATOMIC_NUM)  # Σ count vectors, unfiltered
+        Sct = {k: np.zeros(MAX_ATOMIC_NUM) for k, _ in sae_tasks}
+
+        if sae_tasks:
+            for c0 in range(0, N, chunk_size):
+                c1 = min(c0 + chunk_size, N)
+                nums = f["atoms/atomic_numbers"][atom_off[c0] : atom_off[c1]]
+                C = _chunk_count_matrix(nums, atom_off[c0 : c1 + 1] - atom_off[c0], c1 - c0)
+                Scc += C.T @ C
+                Sc += C.sum(axis=0)
+                for key, col in sae_tasks:
+                    m = masks[key][c0:c1]
+                    Cm = C[m]
+                    AtA[key] += Cm.T @ Cm
+                    Atb[key] += Cm.T @ targets[c0:c1, col][m]
+                    Sct[key] += C.T @ targets[c0:c1, col]
+
+            stats = {}
+            sols = {}
+            for key, _ in sae_tasks:
+                sol, *_ = np.linalg.lstsq(AtA[key], Atb[key], rcond=None)
+                sols[key] = sol
+                stats[key] = {z: float(v) for z, v in enumerate(sol) if not np.isnan(v)}
+            norm = SAENormalizer(config.task_type, pc)
+            norm.sae_statistics = stats
+            norm.is_fitted = True
+            pipe.sae_normalizer = norm
+
+        if config.apply_standard_scaling:
+            # scaler moments of the SAE-shifted targets, exactly:
+            #   Σx = Σt − Sc·s;  Σx² = Σt² − 2 s·Sct + sᵀ Scc s
+            S1 = targets.sum(axis=0)
+            S2 = (targets**2).sum(axis=0)
+            means = np.empty(T)
+            variances = np.empty(T)
+            sae_cols = {col: key for key, col in sae_tasks}
+            for j in range(T):
+                if j in sae_cols:
+                    key = sae_cols[j]
+                    s = sols[key]
+                    sx = S1[j] - Sc @ s
+                    sx2 = S2[j] - 2.0 * (s @ Sct[key]) + s @ Scc @ s
+                else:
+                    sx, sx2 = S1[j], S2[j]
+                means[j] = sx / N
+                variances[j] = max((sx2 - sx * sx / N) / max(N - 1, 1), 0.0)
+            scaler = StandardScaler()
+            scaler.means = means.astype(np.float32)
+            scaler.stds = np.sqrt(variances).astype(np.float32)
+            scaler.stds[scaler.stds < 1e-12] = 1.0
+            scaler.is_fitted = True
+            pipe.standard_scaler = scaler
+
+    pipe.is_fitted = True
+    return pipe
+
+
+def transform_targets_streaming(
+    path: str, pipe: PreprocessingPipeline, chunk_size: int = 65536
+) -> None:
+    """Apply a fitted pipeline to graphs/targets in place, chunk by chunk,
+    and record the pipeline state in metadata."""
+    with h5py.File(path, "r+") as f:
+        N = int(f["metadata"].attrs["num_molecules"])
+        atom_off = f["atoms/offsets"][:]
+        for c0 in range(0, N, chunk_size):
+            c1 = min(c0 + chunk_size, N)
+            raw = np.asarray(f["graphs/targets"][c0:c1], np.float64)
+            nums = f["atoms/atomic_numbers"][atom_off[c0] : atom_off[c1]]
+            splits = atom_off[c0 : c1 + 1] - atom_off[c0]
+            nums_list = np.split(nums.astype(np.int32), splits[1:-1])
+            f["graphs/targets"][c0:c1] = pipe.transform(nums_list, raw)
+        f["metadata"].attrs["preprocessing"] = json.dumps(pipe.state_dict())
+
+
 class HDF5MoleculeDataset:
     """Reader over the columnar schema with random access by index."""
 
@@ -210,13 +542,86 @@ class HDF5MoleculeDataset:
             self._file.close()
             self._file = None
 
+    def offsets(self) -> dict:
+        """Offset index arrays, read once and cached (8 bytes/molecule each) —
+        removes five h5py reads per molecule from the access path."""
+        if not hasattr(self, "_off"):
+            f = self.file
+            self._off = {
+                "atoms": f["atoms/offsets"][:],
+                "edges": f["edges/offsets"][:],
+                "tet": f["stereo/tet_offsets"][:],
+                "cis": f["stereo/cis_offsets"][:],
+                "trans": f["stereo/trans_offsets"][:],
+            }
+        return self._off
+
+    def read_block(self, start: int, end: int) -> Tuple[List[MolFeatures], np.ndarray]:
+        """Contiguous block read: ONE slice read per column dataset for the
+        whole [start, end) molecule range (the round-1 loader issued ~6
+        h5py reads per molecule).  Returns (features, targets)."""
+        f = self.file
+        off = self.offsets()
+        n = end - start
+        ao, eo = off["atoms"], off["edges"]
+        to, co, ro = off["tet"], off["cis"], off["trans"]
+        a0, a1 = ao[start], ao[end]
+        e0, e1 = eo[start], eo[end]
+
+        atom_type = f["atoms/atom_type"][a0:a1].astype(np.int32)
+        hydrogen = f["atoms/hydrogen_count"][a0:a1].astype(np.int32)
+        degree = f["atoms/degree"][a0:a1].astype(np.int32)
+        hybrid = f["atoms/hybridization"][a0:a1].astype(np.int32)
+        numbers = f["atoms/atomic_numbers"][a0:a1].astype(np.int32)
+        hop = f["edges/hop"][e0:e1]
+        dst = f["edges/dst"][e0:e1].astype(np.int32)
+        src = f["edges/src"][e0:e1].astype(np.int32)
+        tet = f["stereo/tet"][to[start] : to[end]].astype(np.int32).reshape(-1, 4)
+        cis = f["stereo/cis"][co[start] : co[end]].astype(np.int32).reshape(-1, 2)
+        trans = f["stereo/trans"][ro[start] : ro[end]].astype(np.int32).reshape(-1, 2)
+        charges = f["graphs/total_charge"][start:end]
+        targets = np.asarray(f["graphs/targets"][start:end], np.float32)
+        smiles = f["graphs/smiles"][start:end]
+
+        feats = []
+        for i in range(n):
+            la0, la1 = ao[start + i] - a0, ao[start + i + 1] - a0
+            le0, le1 = eo[start + i] - e0, eo[start + i + 1] - e0
+            h = hop[le0:le1]
+            d = dst[le0:le1]
+            s = src[le0:le1]
+            # per-molecule edges are stored hop-major ascending: slice hops
+            # with searchsorted instead of K boolean scans
+            marks = np.searchsorted(h, np.arange(1, self.max_hops + 2))
+            edge_hops = [
+                np.stack([d[marks[k] : marks[k + 1]], s[marks[k] : marks[k + 1]]])
+                for k in range(self.max_hops)
+            ]
+            feats.append(
+                MolFeatures(
+                    edge_hops=edge_hops,
+                    atom_type=atom_type[la0:la1],
+                    hydrogen_count=hydrogen[la0:la1],
+                    degree=degree[la0:la1],
+                    hybridization=hybrid[la0:la1],
+                    tet_nbrs=tet[to[start + i] - to[start] : to[start + i + 1] - to[start]],
+                    cis_pairs=cis[co[start + i] - co[start] : co[start + i + 1] - co[start]],
+                    trans_pairs=trans[ro[start + i] - ro[start] : ro[start + i + 1] - ro[start]],
+                    total_charge=float(charges[i]),
+                    atomic_numbers=numbers[la0:la1],
+                    smiles=_decode(smiles[i]),
+                )
+            )
+        return feats, targets
+
     def get_features(self, i: int) -> MolFeatures:
         f = self.file
-        a0, a1 = f["atoms/offsets"][i : i + 2]
-        e0, e1 = f["edges/offsets"][i : i + 2]
-        t0, t1 = f["stereo/tet_offsets"][i : i + 2]
-        c0, c1 = f["stereo/cis_offsets"][i : i + 2]
-        r0, r1 = f["stereo/trans_offsets"][i : i + 2]
+        off = self.offsets()
+        a0, a1 = off["atoms"][i : i + 2]
+        e0, e1 = off["edges"][i : i + 2]
+        t0, t1 = off["tet"][i : i + 2]
+        c0, c1 = off["cis"][i : i + 2]
+        r0, r1 = off["trans"][i : i + 2]
 
         hop = f["edges/hop"][e0:e1]
         dst = f["edges/dst"][e0:e1].astype(np.int32)
@@ -241,12 +646,10 @@ class HDF5MoleculeDataset:
         )
 
     def load_all(self) -> MoleculeDataset:
-        f = self.file
-        feats = [self.get_features(i) for i in range(self.num_molecules)]
-        smiles = [_decode(s) for s in f["graphs/smiles"][:]]
+        feats, targets = self.read_block(0, self.num_molecules)
         return MoleculeDataset(
-            smiles=smiles,
-            targets=np.asarray(f["graphs/targets"][:], np.float32),
+            smiles=[m.smiles for m in feats],
+            targets=targets,
             features=feats,
             max_hops=self.max_hops,
         )
@@ -257,8 +660,14 @@ class HDF5BatchLoader:
 
     Supports host sharding for multi-host training (each host iterates its
     contiguous chunk — the TPU-native analog of the reference's rank/worker
-    chunking; reference: src/datasets/molecular.py:228-250) and true
-    epoch-seeded shuffling (fixing quirk Q11's cosmetic shuffle buffer).
+    chunking; reference: src/datasets/molecular.py:228-250).
+
+    IO design: molecules are read in contiguous *blocks* of
+    ``block_batches`` batches (one slice read per column dataset per
+    block); shuffling is two-level — epoch-seeded shuffle of block order,
+    then a within-block shuffle (a real shuffle with sequential IO, unlike
+    the reference's cosmetic shuffle buffer, quirk Q11, and unlike its
+    per-record random reads).  Recorded as a deviation in PARITY.md.
     """
 
     def __init__(
@@ -271,6 +680,7 @@ class HDF5BatchLoader:
         host_id: int = 0,
         num_hosts: int = 1,
         stack_devices: int = 0,
+        block_batches: int = 16,
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -280,6 +690,7 @@ class HDF5BatchLoader:
         self.host_id = host_id
         self.num_hosts = num_hosts
         self.stack_devices = stack_devices
+        self.block_batches = block_batches
         self._epoch = 0
         k = batch_size
         self.atom_slots = bucket_size(k * dataset.max_atoms_per_mol or 8)
@@ -295,17 +706,9 @@ class HDF5BatchLoader:
         b = self.batch_size * max(1, self.stack_devices)
         return n // b if self.drop_last else math.ceil(n / b)
 
-    def _collate(self, idx) -> MolBatch:
-        mols = [self.ds.get_features(i) for i in idx]
-        if len(idx) == 0:  # empty device shard (short final chunk)
+    def _collate(self, mols: List[MolFeatures], targets: np.ndarray) -> MolBatch:
+        if not len(mols):
             targets = np.zeros((0, self.ds.num_tasks), np.float32)
-        else:
-            targets = self.ds.file["graphs/targets"][np.sort(np.asarray(idx))]  # h5 needs sorted
-            # restore requested order
-            order = np.argsort(np.asarray(idx), kind="stable")
-            inv = np.empty_like(order)
-            inv[order] = np.arange(len(order))
-            targets = targets[inv]
         return collate(
             mols,
             targets,
@@ -317,27 +720,50 @@ class HDF5BatchLoader:
             pair_slots=self.pair_slots,
         )
 
-    def __iter__(self) -> Iterator[MolBatch]:
+    def _mol_stream(self):
+        """(MolFeatures, target_row) pairs in epoch order over this host's
+        contiguous chunk, via block reads + two-level shuffle."""
         n = len(self.ds)
-        order = np.arange(n)
-        if self.shuffle:
-            rng = np.random.default_rng(self.seed + self._epoch)
-            rng.shuffle(order)
-        # contiguous host chunk
         per_host = math.ceil(n / self.num_hosts)
-        order = order[self.host_id * per_host : (self.host_id + 1) * per_host]
-        b = self.batch_size * max(1, self.stack_devices)
-        for i in range(0, len(order), b):
-            idx = order[i : i + b]
-            if self.drop_last and len(idx) < b:
-                return
-            if self.stack_devices:
-                import jax
+        h0 = self.host_id * per_host
+        h1 = min(h0 + per_host, n)
+        group = self.batch_size * max(1, self.stack_devices)
+        block = max(self.block_batches * group, 1)
+        starts = list(range(h0, h1, block))
+        rng = (
+            np.random.default_rng(self.seed + self._epoch) if self.shuffle else None
+        )
+        if rng is not None:
+            rng.shuffle(starts)
+        for s in starts:
+            e = min(s + block, h1)
+            feats, targets = self.ds.read_block(s, e)
+            order = np.arange(len(feats))
+            if rng is not None:
+                rng.shuffle(order)
+            for i in order:
+                yield feats[i], targets[i]
 
-                shards = [
-                    self._collate(idx[d * self.batch_size : (d + 1) * self.batch_size])
-                    for d in range(self.stack_devices)
-                ]
-                yield jax.tree_util.tree_map(lambda *xs: np.stack(xs), *shards)
-            else:
-                yield self._collate(idx)
+    def _emit(self, buf) -> MolBatch:
+        if not self.stack_devices:
+            return self._collate([m for m, _ in buf], np.array([t for _, t in buf]))
+        import jax
+
+        shards = []
+        for d in range(self.stack_devices):
+            part = buf[d * self.batch_size : (d + 1) * self.batch_size]
+            shards.append(
+                self._collate([m for m, _ in part], np.array([t for _, t in part]))
+            )
+        return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *shards)
+
+    def __iter__(self) -> Iterator[MolBatch]:
+        group = self.batch_size * max(1, self.stack_devices)
+        buf: list = []
+        for item in self._mol_stream():
+            buf.append(item)
+            if len(buf) == group:
+                yield self._emit(buf)
+                buf = []
+        if buf and not self.drop_last:
+            yield self._emit(buf)

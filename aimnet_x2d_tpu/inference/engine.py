@@ -31,16 +31,5 @@ def inference_main(args: argparse.Namespace) -> Dict[str, Any]:
             args.inference_csv, args.inference_output, smiles_column=args.smiles_column
         )
     if args.inference_hdf5:
-        from ..data.hdf5 import HDF5MoleculeDataset
-
-        ds = HDF5MoleculeDataset(args.inference_hdf5).load_all()
-        res = pipeline._predict_dataset(ds)
-        frame = pipeline._result_frame(ds, res)
-        frame.to_csv(args.inference_output, index=False)
-        print(f"[inference] {len(ds)} molecules → {args.inference_output}")
-        return {
-            "total_molecules": len(ds),
-            "valid_molecules": len(ds),
-            "output_path": args.inference_output,
-        }
+        return pipeline.run_hdf5(args.inference_hdf5, args.inference_output)
     raise ValueError("inference requires --inference_csv or --inference_hdf5")

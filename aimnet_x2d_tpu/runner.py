@@ -117,31 +117,45 @@ def _run_training_streaming(args: argparse.Namespace) -> Dict[str, Any]:
     """
     import os
 
-    from .data.hdf5 import HDF5BatchLoader, HDF5MoleculeDataset, write_hdf5
+    from .data.hdf5 import (
+        HDF5BatchLoader,
+        HDF5MoleculeDataset,
+        fit_pipeline_streaming,
+        transform_targets_streaming,
+        write_hdf5_streaming,
+    )
 
     t_start = time.time()
     paths = [args.train_hdf5, args.val_hdf5, args.test_hdf5]
     if not all(os.path.exists(p) for p in paths):
+        # Out-of-core build: featurize+append in chunks (RAM = one chunk),
+        # fit SAE/scaler with one streaming pass over the train file, then
+        # transform targets in place — the dataset never materializes in
+        # host memory (reference capability: src/datasets/features.py:381-613,
+        # which the round-1 branch lost by materializing MoleculeDataset).
         (tr_s, tr_t), (va_s, va_t), (te_s, te_t), num_tasks = _load_splits(args)
         workers = args.precompute_num_workers
-        splits = {}
-        for name, (s, t) in (("train", (tr_s, tr_t)), ("val", (va_s, va_t)), ("test", (te_s, te_t))):
-            splits[name] = MoleculeDataset.from_smiles(s, t, args.num_shells, workers)
-        pipe = PreprocessingPipeline(
+        cols = args.multi_target_list or [args.target_column]
+        for (s, t), path, name in (
+            ((tr_s, tr_t), args.train_hdf5, "train"),
+            ((va_s, va_t), args.val_hdf5, "val"),
+            ((te_s, te_t), args.test_hdf5, "test"),
+        ):
+            kept = write_hdf5_streaming(
+                path, s, t, args.num_shells, num_workers=workers, target_columns=cols
+            )
+            print(f"[hdf5] wrote {kept}/{len(s)} molecules → {path}")
+        pipe = fit_pipeline_streaming(
+            args.train_hdf5,
             PreprocessingConfig(
                 apply_sae=args.calculate_sae,
                 sae_subtasks=args.sae_subtask_list,
                 apply_standard_scaling=True,
                 task_type=args.task_type,
-            )
+            ),
         )
-        pipe.fit(splits["train"].atomic_numbers(), splits["train"].targets)
-        cols = args.multi_target_list or [args.target_column]
-        for name, path in zip(("train", "val", "test"), paths):
-            ds = splits[name]
-            ds = ds.with_targets(pipe.transform(ds.atomic_numbers(), ds.targets))
-            write_hdf5(path, ds, target_columns=cols, preprocessing_state=pipe.state_dict())
-            print(f"[hdf5] wrote {len(ds)} molecules → {path}")
+        for path in paths:
+            transform_targets_streaming(path, pipe)
 
     train_h5 = HDF5MoleculeDataset(args.train_hdf5)
     val_h5 = HDF5MoleculeDataset(args.val_hdf5)
