@@ -91,7 +91,7 @@ class SAENormalizer:
         targets = np.asarray(targets, np.float64)
         valid = [i for i, n in enumerate(atomic_numbers_list) if n is not None]
         if not valid:
-            raise ValueError("No valid molecules found for SAE computation")
+            raise ValueError("SAE fit needs at least one parsed molecule")
         nums = [atomic_numbers_list[i] for i in valid]
 
         if self.task_type == "regression":
@@ -101,7 +101,7 @@ class SAENormalizer:
             }
         elif self.task_type == "multitask":
             if subtasks is None:
-                raise ValueError("Must specify subtasks for multitask SAE normalization")
+                raise ValueError("multitask SAE requires sae_subtasks (which target columns to shift)")
             stats: Dict[int, Dict[int, float]] = {}
             for st in subtasks:
                 if st >= targets.shape[1]:
@@ -124,7 +124,7 @@ class SAENormalizer:
         targets: np.ndarray,
     ) -> np.ndarray:
         if not self.is_fitted:
-            raise ValueError("Must call fit() before transform()")
+            raise ValueError("transform() requires a fitted normalizer — call fit() first")
         targets = np.array(targets, np.float64, copy=True)
         if self.task_type == "regression":
             shifts = _sae_shifts(atomic_numbers_list, self.sae_statistics["regression"])
@@ -164,7 +164,7 @@ class StandardScaler:
 
     def transform(self, targets: np.ndarray) -> np.ndarray:
         if not self.is_fitted:
-            raise ValueError("Must call fit() before transform()")
+            raise ValueError("transform() requires a fitted normalizer — call fit() first")
         t = np.asarray(targets, np.float32)
         if t.ndim == 1:
             t = t.reshape(-1, 1)
@@ -172,7 +172,7 @@ class StandardScaler:
 
     def inverse_transform(self, scaled: np.ndarray) -> np.ndarray:
         if not self.is_fitted:
-            raise ValueError("Must call fit() before inverse_transform()")
+            raise ValueError("inverse_transform() requires a fitted scaler — call fit() first")
         return np.asarray(scaled) * self.stds + self.means
 
     def fit_transform(self, targets: np.ndarray) -> np.ndarray:
@@ -207,7 +207,7 @@ class PreprocessingPipeline:
 
     def transform(self, atomic_numbers_list, targets) -> np.ndarray:
         if not self.is_fitted:
-            raise ValueError("Must call fit() before transform()")
+            raise ValueError("transform() requires a fitted normalizer — call fit() first")
         current = np.asarray(targets, np.float64)
         if self.sae_normalizer is not None:
             current = self.sae_normalizer.transform(atomic_numbers_list, current)

@@ -178,6 +178,15 @@ def evaluate(
         )
 
     preds, targets = predict_batches(model, params, loader, mesh=mesh)
+    if jax.process_count() > 1:
+        # Each host evaluated its data shard; assemble the global arrays so
+        # every host reports identical metrics (reference gathers to rank 0
+        # and pickle-broadcasts the dict, src/training/evaluator.py:158-187;
+        # an allgather gives the same result without the asymmetry).
+        from ..parallel import multihost
+
+        preds = multihost.allgather_numpy(preds)
+        targets = multihost.allgather_numpy(targets)
     mask = np.ones(len(preds), bool)
     loss = float(
         loss_fn(jnp.asarray(preds), jnp.asarray(targets), jnp.asarray(mask))

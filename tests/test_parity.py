@@ -169,3 +169,117 @@ def test_evidential_loss_parity(rng):
     )
     loss_torch = oracle.evidential_loss_oracle(raw, tgt)
     assert abs(loss_jax - loss_torch) < 1e-4
+
+
+def test_full_forward_parity(rng):
+    """The COMPLETE forward as one composition — embeddings → split → MP
+    (charge-eq + stereo on) → attention pooling → FFN → evidential head —
+    against the oracle on injected weights (VERDICT r1 weak #6: layer
+    tests alone can miss wiring drift between layers)."""
+    cfg = GNNConfig(
+        hidden_dim=40, output_dim=3, num_shells=2, num_message_passing_layers=2,
+        embedding_dim=8, ffn_num_layers=3, pooling_type="attention",
+        task_type="multitask", use_partial_charges=True, use_stereochemistry=True,
+        shell_conv_dropout=0.0, ffn_dropout=0.0, loss_function="evidential",
+    )
+    batch = _make_batch(rng, n_mols=5, num_hops=2, n_tasks=3, with_stereo=True)
+    model = GNN(cfg)
+    params = model.init(jax.random.PRNGKey(3), batch)
+    out = model.apply(params, batch, deterministic=True)
+
+    am = np.asarray(batch.atom_mask)
+    em = np.asarray(batch.edge_mask)
+    gm = np.asarray(batch.graph_mask)
+    arrays = dict(
+        atom_type=np.asarray(batch.atom_type)[am],
+        hydrogen_count=np.asarray(batch.hydrogen_count)[am],
+        degree=np.asarray(batch.degree)[am],
+        hybridization=np.asarray(batch.hybridization)[am],
+        batch_indices=np.asarray(batch.atom_mol)[am],
+        edge_dst=np.asarray(batch.edge_dst)[em],
+        edge_src=np.asarray(batch.edge_src)[em],
+        tet_nbrs=np.asarray(batch.tet_nbrs)[np.asarray(batch.tet_mask)],
+        cis_pairs=np.asarray(batch.cis_pairs)[np.asarray(batch.cis_mask)],
+        trans_pairs=np.asarray(batch.trans_pairs)[np.asarray(batch.trans_mask)],
+        total_charges=np.asarray(batch.total_charge)[gm],
+        num_graphs=int(gm.sum()),
+    )
+    p = jax.tree_util.tree_map(np.asarray, params["params"])
+    preds_t, atom_t, mol_t = oracle.full_forward_oracle(p, cfg, arrays)
+
+    np.testing.assert_allclose(
+        np.asarray(out.atom_embeddings)[am], atom_t, rtol=5e-4, atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.mol_embeddings)[gm], mol_t, rtol=5e-4, atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.predictions)[gm], preds_t, rtol=5e-4, atol=5e-5
+    )
+    assert out.predictions.shape[-1] == 4 * 3  # evidential head width
+
+
+def test_param_name_shape_map(rng):
+    """Parameter name/shape map parity with the reference architecture
+    (SURVEY §2b #22), including the dead Q5 params kept for checkpoint
+    parity.  Fails if any layer's wiring or sizing drifts."""
+    H, E, K, T = 40, 8, 2, 3
+    cfg = GNNConfig(
+        hidden_dim=H, output_dim=T, num_shells=K, num_message_passing_layers=2,
+        embedding_dim=E, ffn_num_layers=3, pooling_type="attention",
+        task_type="multitask", use_partial_charges=True, use_stereochemistry=True,
+        loss_function="evidential", parity_params=True,
+    )
+    batch = _make_batch(rng, n_mols=4, num_hops=K, n_tasks=T, with_stereo=True)
+    params = GNN(cfg).init(jax.random.PRNGKey(0), batch)["params"]
+
+    got = {}
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        name = "/".join(getattr(k, "key", str(k)) for k in path)
+        got[name] = tuple(leaf.shape)
+
+    D = cfg.x_other_dim  # int(0.3*H) = 12
+    F = cfg.ffn_dim  # = H
+    expected = {
+        "atom_type_embedding": (119, E),
+        "hydrogen_count_embedding": (9, E),
+        "degree_embedding": (7, E),
+        "hybridization_embedding": (7, E),
+        "embedding_projection/kernel": (4 * E, H),
+        "embedding_projection/bias": (H,),
+        # dead params (reference gnn.py:146,194 — quirk Q5)
+        "long_range_projection/kernel": (H, F),
+        "long_range_projection/bias": (F,),
+        "stereochemical_embedding/kernel": (3 * H, H),
+        "stereochemical_embedding/bias": (H,),
+        "stereochemical_embedding_2/kernel": (3 * D, D),
+        "stereochemical_embedding_2/bias": (D,),
+        "concat_self_other/kernel": (H, H),
+        "concat_self_other/bias": (H,),
+        "pooling/temperature": (),
+        "post_pooling_projection/kernel": (H, F),
+        "post_pooling_projection/bias": (F,),
+        "skip_transform/kernel": (F, F),
+        "skip_transform/bias": (F,),
+        "output_layer/kernel": (2 * F, 4 * T),  # evidential: 4 heads/task
+        "output_layer/bias": (4 * T,),
+    }
+    for l in range(2):
+        mp = f"message_passing_layers_{l}"
+        expected[f"{mp}/input_proj_kernel"] = ((K + 1) * D, D)
+        expected[f"{mp}/input_proj_bias"] = (D,)
+        expected[f"{mp}/global_skip_proj_kernel"] = ((K + 1) * D, D)
+        expected[f"{mp}/global_skip_proj_bias"] = (D,)
+        for m in range(cfg.shell_conv_num_mlp_layers):
+            for j in (1, 2):
+                expected[f"{mp}/mlp_{m}_linear_{j}/kernel"] = (D, D)
+                expected[f"{mp}/mlp_{m}_linear_{j}/bias"] = (D,)
+    for h in range(cfg.attention_num_heads):
+        expected[f"pooling/attention_weights_{h}/kernel"] = (H, 1)
+        expected[f"pooling/attention_weights_{h}/bias"] = (1,)
+    for b in range(cfg.ffn_num_layers):
+        for j in (1, 2):
+            expected[f"ffn/block_{b}/linear{j}/kernel"] = (F, F)
+            expected[f"ffn/block_{b}/linear{j}/bias"] = (F,)
+
+    assert got == expected

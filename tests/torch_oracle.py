@@ -132,6 +132,96 @@ def tetrahedral_oracle(x, tet_nbrs):
     return updated.numpy()
 
 
+def mlp_oracle(params, x, num_layers):
+    """Reference MultiLayerPerceptron (src/models/layers.py:222-267):
+    LinearBlock stack — skip only on middle blocks (input==output dim)."""
+    x = _t(np.asarray(x, np.float32)) if not torch.is_tensor(x) else x
+
+    def block(p, v, use_skip):
+        out = _linear(v, p["linear1"])
+        out = F.silu(out)
+        out = _linear(out, p["linear2"])
+        if use_skip and v.shape[-1] == out.shape[-1]:
+            out = out + v
+        return out
+
+    if num_layers == 1:
+        return block(params["block_0"], x, False)
+    x = block(params["block_0"], x, False)
+    for i in range(num_layers - 2):
+        x = block(params[f"block_{i + 1}"], x, True)
+    return block(params[f"block_{num_layers - 1}"], x, False)
+
+
+def full_forward_oracle(params, cfg, arrays):
+    """The COMPLETE reference forward (src/models/gnn.py:197-260, SURVEY
+    §3.2) composed from the per-layer oracles, on unpadded arrays:
+
+    embeddings → projection → split (Q2) → L × [charge-eq (Q3) → stereo
+    (Q6/Q7) → shell conv (Q1) → residual] → concat_self_other → attention
+    pooling → post-pool projection → FFN → skip concat → output layer.
+
+    ``params``: numpy-ified flax params["params"]; ``cfg``: GNNConfig;
+    ``arrays``: dict of unpadded numpy inputs.  Returns (predictions,
+    atom_embeddings, mol_embeddings).
+    """
+    at, hc, dg, hb = (
+        arrays["atom_type"], arrays["hydrogen_count"],
+        arrays["degree"], arrays["hybridization"],
+    )
+    embs = [
+        _t(params["atom_type_embedding"])[torch.tensor(at, dtype=torch.long)],
+        _t(params["hydrogen_count_embedding"])[torch.tensor(hc, dtype=torch.long)],
+        _t(params["degree_embedding"])[torch.tensor(dg, dtype=torch.long)],
+        _t(params["hybridization_embedding"])[torch.tensor(hb, dtype=torch.long)],
+    ]
+    x = torch.cat(embs, dim=-1)
+    x = F.silu(_linear(x, params["embedding_projection"]))
+    x_self, x_other = x[:, : cfg.x_self_dim], x[:, cfg.x_self_dim :]
+    x_other = x_other.contiguous().numpy()
+
+    for l in range(cfg.num_message_passing_layers):
+        if cfg.use_partial_charges:
+            x_other = charge_equilibration_oracle(
+                x_other, arrays["batch_indices"], arrays["total_charges"],
+                int(arrays["num_graphs"]),
+            )
+        if cfg.use_stereochemistry:
+            ct = cis_trans_oracle(x_other, arrays["cis_pairs"], arrays["trans_pairs"])
+            tt = tetrahedral_oracle(x_other, arrays["tet_nbrs"])
+            cat = np.concatenate([x_other, ct, tt], axis=-1)
+            x_other = (
+                _linear(_t(cat), params["stereochemical_embedding_2"]).numpy()
+            )
+        conv = shell_conv_oracle(
+            params[f"message_passing_layers_{l}"],
+            x_other,
+            arrays["edge_dst"],
+            arrays["edge_src"],
+            cfg.num_shells,
+            cfg.shell_conv_num_mlp_layers,
+        )
+        x_other = conv + x_other
+
+    combined = torch.cat([x_self, _t(x_other)], dim=-1)
+    atom_embeddings = _linear(combined, params["concat_self_other"])
+
+    pooled, _ = attention_pool_oracle(
+        params["pooling"],
+        atom_embeddings.numpy(),
+        arrays["batch_indices"],
+        int(arrays["num_graphs"]),
+        cfg.attention_num_heads,
+    )
+
+    h = _linear(_t(pooled), params["post_pooling_projection"])
+    h = mlp_oracle(params["ffn"], h, cfg.ffn_num_layers)
+    skip = _linear(h, params["skip_transform"])
+    final = torch.cat([h, skip], dim=-1)
+    preds = _linear(final, params["output_layer"])
+    return preds.numpy(), atom_embeddings.numpy(), pooled
+
+
 def evidential_loss_oracle(outputs, targets, lambda_reg=1.0):
     """Reference EvidentialLoss.forward (src/models/losses.py:108-167)."""
     o = _t(outputs)
