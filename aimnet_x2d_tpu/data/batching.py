@@ -109,6 +109,17 @@ class MolBatch(struct.PyTreeNode):
     # runs atom-sharded over the mesh 'graph' axis.
     halo_send_idx: "np.ndarray | None" = None
 
+    # Static metadata (not a pytree leaf): True when edges are sorted
+    # dst-major, letting parity-mode segment sums claim
+    # indices_are_sorted=True (measured ~1.8x faster scatter on TPU v5e).
+    edges_dst_sorted: bool = struct.field(pytree_node=False, default=False)
+
+    # Fused-kernel edge layouts (ops/fused_edge.py): window-grouped one-hot
+    # MXU aggregation replacing XLA's slow row gather+scatter.  Built by
+    # loaders on TPU (attach_fused_layouts); None elsewhere.
+    fused_fwd: "object | None" = None
+    fused_bwd: "object | None" = None
+
     @property
     def num_atom_slots(self) -> int:
         return self.atom_type.shape[-1]
@@ -220,9 +231,10 @@ def collate(
         raise ValueError(f"edge_slots={E} < total edges {total_edges}")
 
     if sort_edges and total_edges > 0:
-        # Sort by (hop, dst) so a segment kernel sees monotonically
-        # nondecreasing destinations within each hop block.
-        order = np.lexsort((dst, hop))
+        # Sort dst-major (hop minor): the parity-mode union-of-hops
+        # aggregation keys on dst alone, so globally nondecreasing dst lets
+        # the TPU segment sum take the sorted path.
+        order = np.lexsort((hop, dst))
         src, dst, hop = src[order], dst[order], hop[order]
 
     edge_src = np.zeros(E, np.int32)
@@ -308,7 +320,66 @@ def collate(
         cis_mask=cis_mask,
         trans_pairs=trans_pairs,
         trans_mask=trans_mask,
+        edges_dst_sorted=bool(sort_edges),
     )
+
+
+def attach_fused_layouts(batch: MolBatch, pins: dict | None = None) -> MolBatch:
+    """Build and attach the fused-kernel edge layouts (ops/fused_edge.py).
+
+    ``pins`` (mutated in place) carries {"cap": .., "sb": ..} minimums so a
+    loader keeps one static kernel shape across batches.  Falls back to the
+    plain batch when the atom count is too small for a source block.
+    """
+    from ..ops.fused_edge import build_layouts
+
+    def _cap(l):
+        return l.src_local.shape[0] // l.num_windows * l.chunk
+
+    A = batch.num_atom_slots
+    kw = dict(cap=pins.get("cap"), sb=pins.get("sb")) if pins else {}
+    # smaller windows for small batches (the one-hot last dim must tile to
+    # 128 lanes, so the source block is a 128-multiple ≤ A)
+    kw["window"] = 256 if A >= 512 else 128
+    try:
+        fwd, bwd = build_layouts(
+            batch.edge_src, batch.edge_dst, batch.edge_mask, A, **kw
+        )
+        if pins is not None:
+            pins["cap"] = max(_cap(fwd), _cap(bwd))
+            pins["sb"] = max(fwd.sb, bwd.sb)
+            if (_cap(fwd), fwd.sb) != (pins["cap"], pins["sb"]) or (
+                (_cap(bwd), bwd.sb) != (pins["cap"], pins["sb"])
+            ):
+                # rebuild both at the shared pinned shape so fwd/bwd (and
+                # successive batches) hit one compiled kernel
+                fwd, bwd = build_layouts(
+                    batch.edge_src, batch.edge_dst, batch.edge_mask, A,
+                    cap=pins["cap"], sb=pins["sb"], window=kw["window"],
+                )
+    except ValueError:  # tiny batch: source block would exceed atom slots
+        return batch
+    return dataclasses.replace(batch, fused_fwd=fwd, fused_bwd=bwd)
+
+
+def repin_fused_shards(shards: list, pins: dict) -> list:
+    """Fused-layout pins may have grown while collating a stacked batch;
+    rebuild earlier shards' layouts so np.stack sees uniform shapes."""
+    target = dict(pins)
+    out = []
+    for b in shards:
+        f = b.fused_fwd
+        needs = f is None or (
+            f.sb != target.get("sb")
+            or f.src_local.shape[0] // f.num_windows * f.chunk != target.get("cap")
+            or b.fused_bwd.sb != target.get("sb")
+        )
+        if needs:
+            b = attach_fused_layouts(
+                dataclasses.replace(b, fused_fwd=None, fused_bwd=None), dict(target)
+            )
+        out.append(b)
+    return out
 
 
 def shard_edges(batch: MolBatch, num_shards: int) -> list:
@@ -389,4 +460,5 @@ def pad_batch(batch: MolBatch, *, atom_slots: int, edge_slots: int, graph_slots:
         cis_mask=batch.cis_mask,
         trans_pairs=_remap(batch.trans_pairs),
         trans_mask=batch.trans_mask,
+        edges_dst_sorted=batch.edges_dst_sorted,
     )

@@ -127,6 +127,7 @@ class BatchLoader:
         stack_devices: int = 0,
         edge_shards: int = 1,
         halo_shards: int = 1,
+        fused_edges: "bool | None" = None,
     ):
         if edge_shards > 1 and halo_shards > 1:
             raise ValueError("edge_shards and halo_shards are exclusive graph-axis modes")
@@ -139,6 +140,18 @@ class BatchLoader:
         self.stack_devices = stack_devices
         self.edge_shards = edge_shards
         self.halo_shards = halo_shards
+        # Fused-kernel layouts (ops/fused_edge.py): auto-enabled on TPU
+        # for the plain (non-graph-sharded) path where the model uses them.
+        if fused_edges is None:
+            import jax
+
+            fused_edges = (
+                jax.default_backend() == "tpu"
+                and edge_shards == 1
+                and halo_shards == 1
+            )
+        self.fused_edges = fused_edges
+        self._fused_pins: dict = {}
         # running per-device slot minimums so halo batches keep one static
         # shape once warmed (partition_halo treats these as minimums)
         self._halo_slots: dict = {}
@@ -202,13 +215,18 @@ class BatchLoader:
                 tet_slots=self.tet_slots,
                 pair_slots=self.pair_slots,
             )
-        return collate(
+        batch = collate(
             mols,
             targets,
             num_hops=self.dataset.max_hops,
             graph_slots=self.batch_size,
             **kw,
         )
+        if self.fused_edges:
+            from .batching import attach_fused_layouts
+
+            batch = attach_fused_layouts(batch, self._fused_pins)
+        return batch
 
     def _partition_halo_shards(self, collated: List[MolBatch]) -> List[MolBatch]:
         """Halo-partition each data shard with shared (pinned, monotonically
@@ -238,6 +256,11 @@ class BatchLoader:
                 parts[i] = partition_halo(b, self.halo_shards, **final)
         return parts
 
+    def _repin_fused(self, shards: List[MolBatch]) -> List[MolBatch]:
+        from .batching import repin_fused_shards
+
+        return repin_fused_shards(shards, self._fused_pins)
+
     def __iter__(self) -> Iterator[MolBatch]:
         for idx in self._batch_indices():
             if self.stack_devices:
@@ -262,6 +285,8 @@ class BatchLoader:
                     shards.append(b)
                 if self.halo_shards > 1:
                     shards = self._partition_halo_shards(shards)
+                if self.fused_edges:
+                    shards = self._repin_fused(shards)
                 yield jax.tree_util.tree_map(lambda *xs: np.stack(xs), *shards)
             else:
                 yield self._collate(idx)

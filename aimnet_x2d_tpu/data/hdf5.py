@@ -681,6 +681,7 @@ class HDF5BatchLoader:
         num_hosts: int = 1,
         stack_devices: int = 0,
         block_batches: int = 16,
+        fused_edges: "bool | None" = None,
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -691,6 +692,12 @@ class HDF5BatchLoader:
         self.num_hosts = num_hosts
         self.stack_devices = stack_devices
         self.block_batches = block_batches
+        if fused_edges is None:
+            import jax
+
+            fused_edges = jax.default_backend() == "tpu"
+        self.fused_edges = fused_edges
+        self._fused_pins: dict = {}
         self._epoch = 0
         k = batch_size
         self.atom_slots = bucket_size(k * dataset.max_atoms_per_mol or 8)
@@ -709,7 +716,7 @@ class HDF5BatchLoader:
     def _collate(self, mols: List[MolFeatures], targets: np.ndarray) -> MolBatch:
         if not len(mols):
             targets = np.zeros((0, self.ds.num_tasks), np.float32)
-        return collate(
+        batch = collate(
             mols,
             targets,
             num_hops=self.ds.max_hops,
@@ -719,6 +726,11 @@ class HDF5BatchLoader:
             tet_slots=self.tet_slots,
             pair_slots=self.pair_slots,
         )
+        if self.fused_edges:
+            from .batching import attach_fused_layouts
+
+            batch = attach_fused_layouts(batch, self._fused_pins)
+        return batch
 
     def _mol_stream(self):
         """(MolFeatures, target_row) pairs in epoch order over this host's
@@ -755,6 +767,10 @@ class HDF5BatchLoader:
             shards.append(
                 self._collate([m for m, _ in part], np.array([t for _, t in part]))
             )
+        if self.fused_edges:
+            from .batching import repin_fused_shards
+
+            shards = repin_fused_shards(shards, self._fused_pins)
         return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *shards)
 
     def __iter__(self) -> Iterator[MolBatch]:

@@ -78,6 +78,18 @@ def run_hyperparameter_optimization(args) -> Dict[str, Any]:
         trial_args.model_save_path = args.model_save_path + f".trial{trial}"
         trial_args = postprocess_arguments(trial_args)
 
+        # per-trial HDF5 isolation (reference: src/trial_utils.py:18-84):
+        # featurization depends on sampled num_shells, so streaming trials
+        # must not share HDF5 files; each gets a temp dir, removed after.
+        tmp_dir = None
+        if getattr(trial_args, "iterable_dataset", False):
+            import tempfile
+
+            tmp_dir = tempfile.mkdtemp(prefix=f"aimnet_hyperopt_trial{trial}_")
+            for attr in ("train_hdf5", "val_hdf5", "test_hdf5"):
+                base = os.path.basename(getattr(trial_args, attr) or f"{attr}.h5")
+                setattr(trial_args, attr, os.path.join(tmp_dir, base))
+
         print(f"\n===== trial {trial + 1}/{args.num_trials}: {sampled} =====")
         t0 = time.time()
         try:
@@ -88,6 +100,11 @@ def run_hyperparameter_optimization(args) -> Dict[str, Any]:
             results.append({"trial": trial, "config": sampled, "status": "failed",
                             "error": str(e)})
             continue
+        finally:
+            if tmp_dir is not None:
+                import shutil
+
+                shutil.rmtree(tmp_dir, ignore_errors=True)
 
         results.append(
             {

@@ -207,6 +207,7 @@ class GNN(nn.Module):
                 parity_mode=cfg.parity_mode,
                 graph_axis=cfg.graph_axis,
                 dtype=cdt,
+                edges_dst_sorted=batch.edges_dst_sorted,
                 name=f"message_passing_layers_{layer_idx}",
             )
             x_other = (
@@ -218,6 +219,8 @@ class GNN(nn.Module):
                     batch.edge_mask,
                     deterministic,
                     batch.halo_send_idx,
+                    batch.fused_fwd,
+                    batch.fused_bwd,
                 )
                 + x_other
             )

@@ -104,6 +104,10 @@ class ShellConvolutionLayer(nn.Module):
     # Mixed precision: bf16 operands/activations, fp32 accumulation for
     # both the MXU matmuls and the edge scatter-add.
     dtype: Any = None
+    # Edges arrive dst-major sorted (collate/halo default): lets the
+    # parity-mode segment sum take XLA's sorted-scatter fast path
+    # (~1.8x on v5e; measured in /tmp opbench, see BASELINE.md).
+    edges_dst_sorted: bool = False
 
     @nn.compact
     def __call__(
@@ -115,6 +119,8 @@ class ShellConvolutionLayer(nn.Module):
         edge_mask: jax.Array,  # (E,) bool
         deterministic: bool = True,  # positional-friendly for nn.remat
         halo_send_idx: jax.Array | None = None,  # (G, Hp) halo mode
+        fused_fwd=None,  # ops/fused_edge.py layouts (TPU fast path)
+        fused_bwd=None,
     ) -> jax.Array:
         A, D = x.shape
         K = self.num_hops
@@ -154,10 +160,14 @@ class ShellConvolutionLayer(nn.Module):
             )
         else:
             x_ext = x
-        src_feat = jnp.where(edge_mask[:, None], x_ext[edge_src], 0.0)
-        if dt is not None:
-            # accumulate the scatter in fp32 regardless of activation dtype
-            src_feat = src_feat.astype(jnp.float32)
+
+        def _src_feat():
+            feat = jnp.where(edge_mask[:, None], x_ext[edge_src], 0.0)
+            if dt is not None:
+                # accumulate the scatter in fp32 regardless of activation dtype
+                feat = feat.astype(jnp.float32)
+            return feat
+
         # Edge-replicated mode: atoms are replicated and each device holds an
         # edge shard, so the partial sums must be psum'd.
         need_psum = self.graph_axis is not None and halo_send_idx is None
@@ -166,7 +176,28 @@ class ShellConvolutionLayer(nn.Module):
             # Union-of-hops aggregation (Q1 semantics): hop chunks 1..K-1 are
             # identically zero, so only the first 2D rows of the kernels see
             # data — compute just those rows.
-            agg = segment_sum(src_feat, edge_dst, A)
+            if fused_fwd is not None and self.graph_axis is None:
+                # Pallas fused gather+scatter (ops/fused_edge.py): XLA's row
+                # gather runs at ~3% of HBM BW and dominates the step; the
+                # one-hot MXU formulation replaces both the gather and the
+                # scatter.  fp32 accumulation either way; bf16 models use
+                # bf16 MXU operands (their activations are bf16 already),
+                # fp32 models use 3-pass exact matmuls.
+                from ..ops.fused_edge import fused_edge_aggregate
+
+                agg = fused_edge_aggregate(
+                    x,
+                    fused_fwd,
+                    fused_bwd,
+                    exact=dt is None,
+                    # off-TPU the kernel runs in the pallas interpreter, so
+                    # CPU tests exercise the same code path end to end
+                    interpret=jax.default_backend() != "tpu",
+                )
+            else:
+                agg = segment_sum(
+                    _src_feat(), edge_dst, A, indices_are_sorted=self.edges_dst_sorted
+                )
             if need_psum:
                 agg = jax.lax.psum(agg, self.graph_axis)
             inp = jnp.concatenate([x, agg.astype(x.dtype)], axis=-1)  # (A, 2D)
@@ -175,7 +206,7 @@ class ShellConvolutionLayer(nn.Module):
             # True per-hop aggregation: scatter into a (K*A, D) buffer keyed
             # by (hop-1)*A + dst, then unstack per hop.
             flat_idx = jnp.where(edge_mask, (edge_hop - 1) * A + edge_dst, K * A)
-            agg = segment_sum(src_feat, flat_idx, K * A).reshape(K, A, D)
+            agg = segment_sum(_src_feat(), flat_idx, K * A).reshape(K, A, D)
             if need_psum:
                 agg = jax.lax.psum(agg, self.graph_axis)
             inp = jnp.concatenate(

@@ -195,7 +195,9 @@ def partition_halo(
         sel = own_d == g
         s_g, d_g, h_g = new_src[sel], dst[sel] - starts[g], hop[sel]
         if len(d_g):
-            order = np.lexsort((d_g, h_g))
+            # dst-major like collate, so parity-mode segment sums can use
+            # the sorted fast path on device
+            order = np.lexsort((h_g, d_g))
             s_g, d_g, h_g = s_g[order], d_g[order], h_g[order]
         e_src = np.zeros(E_loc, np.int32)
         e_dst = np.full(E_loc, A_loc, np.int32)
@@ -228,6 +230,7 @@ def partition_halo(
                 trans_pairs=trans_rows[g],
                 trans_mask=trans_masks[g],
                 halo_send_idx=send_idx[g],
+                edges_dst_sorted=True,
             )
         )
 

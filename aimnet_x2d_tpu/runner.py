@@ -350,6 +350,69 @@ def _run_training(args: argparse.Namespace) -> Dict[str, Any]:
     return {**summary, "params": result.params}
 
 
+def check_data_consistency(args) -> None:
+    """Cross-check data flags before any work starts
+    (reference: src/main/utils.py:102-160)."""
+    import os
+
+    if args.is_inference:
+        for p, what in ((args.inference_csv, "inference CSV"),
+                        (args.inference_hdf5, "inference HDF5")):
+            if p and not os.path.exists(p):
+                raise ValueError(f"{what} not found: {p}")
+        if not os.path.exists(args.model_save_path):
+            raise ValueError(f"model artifact not found: {args.model_save_path}")
+        return
+    if args.data_path:
+        if args.train_data or args.val_data or args.test_data:
+            raise ValueError(
+                "--data_path and individual --train_data/--val_data/--test_data "
+                "are mutually exclusive"
+            )
+        if not os.path.exists(args.data_path):
+            raise ValueError(f"data file not found: {args.data_path}")
+    else:
+        trio = (args.train_data, args.val_data, args.test_data)
+        if not all(trio):
+            raise ValueError(
+                "training needs --data_path or all three of "
+                "--train_data/--val_data/--test_data"
+            )
+        for p, name in zip(trio, ("train", "val", "test")):
+            if not os.path.exists(p):
+                raise ValueError(f"{name} data file not found: {p}")
+
+
+def print_final_summary(summary: Dict[str, Any], args) -> None:
+    """Human-readable end-of-experiment report
+    (reference: src/main/utils.py:487-538)."""
+    tm = summary.get("test_metrics", {})
+    lines = [
+        "=" * 70,
+        "experiment complete",
+        f"  best val loss   {summary.get('best_val_loss', float('nan')):.6f} "
+        f"(epoch {summary.get('best_epoch')})",
+        f"  test            loss {tm.get('loss', float('nan')):.6f}  "
+        f"mae {tm.get('mae', float('nan')):.6f}  "
+        f"rmse {tm.get('rmse', float('nan')):.6f}  r2 {tm.get('r2', float('nan')):.4f}",
+        f"  wall time       {summary.get('total_seconds', 0.0):.1f}s "
+        f"({summary.get('avg_epoch_seconds', 0.0):.1f}s/epoch)",
+        f"  artifact        {args.model_save_path}",
+    ]
+    per = tm.get("per_task")
+    cols = getattr(args, "multi_target_list", None)
+    if per and cols:
+        lines.append("  per-task:")
+        for i, col in enumerate(cols):
+            if i < len(per["mae"]):
+                lines.append(
+                    f"    {col:>16s}  mae {per['mae'][i]:.6f}  "
+                    f"rmse {per['rmse'][i]:.6f}  r2 {per['r2'][i]:.4f}"
+                )
+    lines.append("=" * 70)
+    print("\n".join(lines))
+
+
 def _extract_embeddings(args, model, params, named_datasets) -> None:
     """Mol (+ atom) embeddings for every split → one HDF5 file
     (reference: src/training/extractors.py:278-465)."""
@@ -388,11 +451,14 @@ def main_runner(args: argparse.Namespace) -> Dict[str, Any]:
         f"native featurizer: {'yes' if native_available() else 'no (python fallback)'}"
     )
 
+    check_data_consistency(args)
     if args.is_inference:
         from .inference.engine import inference_main
 
         return inference_main(args)
-    return _run_training(args)
+    summary = _run_training(args)
+    print_final_summary(summary, args)
+    return summary
 
 
 def main(argv=None) -> int:
