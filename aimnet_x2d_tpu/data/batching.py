@@ -120,6 +120,14 @@ class MolBatch(struct.PyTreeNode):
     fused_fwd: "object | None" = None
     fused_bwd: "object | None" = None
 
+    # Bin-packed dense layout (data/binning.py): per-bin int8 adjacency
+    # (bins, ab, ab) and molecule-membership matrix (bins, mb, ab).  When
+    # set, atoms are laid out bins×ab, molecules bins×mb, and the MP
+    # aggregation / pooling / charge-equilibration run as batched MXU
+    # matmuls instead of segment scatters.
+    bin_adj: "np.ndarray | None" = None
+    pool_mat: "np.ndarray | None" = None
+
     @property
     def num_atom_slots(self) -> int:
         return self.atom_type.shape[-1]

@@ -1,0 +1,233 @@
+"""Bin-packed batch layout: the TPU-native dense formulation of the hot ops.
+
+The reference's hot kernels are edge scatter_add (torch_scatter; reference
+src/models/layers.py:158-163) and per-molecule segment softmax/sums
+(src/models/pooling.py:83-172).  On TPU both map badly to XLA's row-serial
+gather/scatter (measured ~3% of HBM bandwidth — BASELINE.md round 2).
+
+This module exploits two structural facts of molecular batches:
+
+  * collate packs each molecule's atoms contiguously, and
+  * edges never cross molecules (BFS shells are intra-molecule),
+
+so molecules can be packed whole into fixed-size **bins** of ``ab`` atom
+slots.  Then every edge lives inside one bin, and the two hot ops become
+dense per-bin matrices shipped (int8) with the batch:
+
+  * ``bin_adj[b, i, j]``  = multiplicity of edges j→i inside bin b: the MP
+    union-of-hops aggregation is ``einsum('bij,bjd->bid', adj, x)`` — one
+    batched MXU matmul, auto-differentiated by XLA (the transpose matmul),
+    ~12× fewer FLOPs than an edge-space one-hot formulation because
+    E/bin ≫ ab.
+  * ``pool_mat[b, m, a]`` = 1 iff atom a of bin b belongs to the bin's m-th
+    molecule: pooling, per-molecule softmax and charge-equilibration sums
+    become small batched matmuls / masked dense reductions instead of
+    segment scatters.
+
+Molecule slots become ``bins × mb`` (mol m of bin b ↦ slot b·mb+m), so
+graph-level arrays carry interspersed padding; molecule ORDER is preserved
+(packing is greedy in order), so masked selection still yields original
+order.  Shapes are pinned by a loader via the ``pins`` dict (monotonic bin
+count), keeping one compiled step across batches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .batching import MolBatch, bucket_size
+
+# Defaults: 256-atom bins hold ~14 mean-sized (18-atom) molecules; 48 mol
+# slots absorb small-molecule-heavy bins without closing early.
+DEFAULT_AB = 256
+DEFAULT_MB = 48
+
+
+class BinningError(ValueError):
+    """Batch cannot be bin-packed (e.g. a molecule exceeds ``ab`` atoms)."""
+
+
+def plan_bins(mol_sizes: np.ndarray, ab: int, mb: int):
+    """Greedy in-order packing of whole molecules into (ab atoms, mb mols)
+    bins.  Returns (bin_of_mol, local_of_mol, new_atom_start, num_bins)."""
+    B = mol_sizes.shape[0]
+    bin_of = np.zeros(B, np.int32)
+    local = np.zeros(B, np.int32)
+    start = np.zeros(B, np.int64)
+    b, fill, nmols = 0, 0, 0
+    for m in range(B):
+        s = int(mol_sizes[m])
+        if s > ab:
+            raise BinningError(f"molecule of {s} atoms exceeds bin size {ab}")
+        if fill + s > ab or nmols >= mb:
+            b += 1
+            fill = 0
+            nmols = 0
+        bin_of[m] = b
+        local[m] = nmols
+        start[m] = b * ab + fill
+        fill += s
+        nmols += 1
+    return bin_of, local, start, b + 1
+
+
+def grow_bins(batch: MolBatch, target_bins: int) -> MolBatch:
+    """Pad an already-binned batch with empty bins (static-shape repin)."""
+    nb, ab, _ = batch.bin_adj.shape
+    if target_bins < nb:
+        raise ValueError("grow_bins cannot shrink")
+    if target_bins == nb:
+        return batch
+    mb = batch.pool_mat.shape[1]
+    extra = target_bins - nb
+    A_old, A_new = nb * ab, target_bins * ab
+    B_new = target_bins * mb
+
+    def _pad(arr, n, fill):
+        pad_width = [(0, n - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+        return np.pad(arr, pad_width, constant_values=fill)
+
+    def _remap(ix):  # one-past-the-end padding index moves with A
+        ix = np.asarray(ix)
+        return np.where(ix >= A_old, A_new, ix).astype(np.int32)
+
+    return dataclasses.replace(
+        batch,
+        atom_type=_pad(np.asarray(batch.atom_type), A_new, 0),
+        hydrogen_count=_pad(np.asarray(batch.hydrogen_count), A_new, 0),
+        degree=_pad(np.asarray(batch.degree), A_new, 0),
+        hybridization=_pad(np.asarray(batch.hybridization), A_new, 0),
+        atom_mol=_pad(
+            np.where(
+                np.asarray(batch.atom_mol) >= nb * mb, B_new, np.asarray(batch.atom_mol)
+            ).astype(np.int32),
+            A_new,
+            B_new,
+        ),
+        atom_mask=_pad(np.asarray(batch.atom_mask), A_new, False),
+        edge_src=np.asarray(batch.edge_src),
+        edge_dst=_remap(batch.edge_dst),
+        total_charge=_pad(np.asarray(batch.total_charge), B_new, 0.0),
+        targets=_pad(np.asarray(batch.targets), B_new, 0.0),
+        graph_mask=_pad(np.asarray(batch.graph_mask), B_new, False),
+        tet_nbrs=_remap(batch.tet_nbrs),
+        cis_pairs=_remap(batch.cis_pairs),
+        trans_pairs=_remap(batch.trans_pairs),
+        bin_adj=_pad(np.asarray(batch.bin_adj), target_bins, 0),
+        pool_mat=_pad(np.asarray(batch.pool_mat), target_bins, 0),
+    )
+
+
+def bin_pack_batch(
+    batch: MolBatch,
+    *,
+    ab: int = DEFAULT_AB,
+    mb: int = DEFAULT_MB,
+    pins: dict | None = None,
+) -> MolBatch:
+    """Re-lay a collated batch into the binned layout and attach the dense
+    per-bin aggregation/pooling matrices.
+
+    ``pins`` (mutated) carries {"bins": n} so loaders keep one static shape;
+    the bin count is bucket-laddered.  Raises :class:`BinningError` when a
+    molecule exceeds ``ab`` atoms (callers fall back to the flat layout).
+    """
+    amask = np.asarray(batch.atom_mask)
+    amol = np.asarray(batch.atom_mol)
+    B_real = int(np.asarray(batch.graph_mask).sum())
+    A0 = batch.num_atom_slots
+    mol_sizes = np.bincount(amol[amask], minlength=B_real)
+
+    bin_of, local, start, nbins = plan_bins(mol_sizes, ab, mb)
+
+    nbins_padded = bucket_size(nbins, align=8)
+    if pins is not None:
+        nbins_padded = max(nbins_padded, pins.get("bins", 0))
+        pins["bins"] = nbins_padded
+    A2 = nbins_padded * ab
+    B2 = nbins_padded * mb
+
+    # old atom index -> new atom index (padding rows -> A2)
+    starts0 = np.concatenate([[0], np.cumsum(mol_sizes)[:-1]])
+    old2new = np.full(A0 + 1, A2, np.int64)
+    total_atoms = int(mol_sizes.sum())
+    within = np.arange(total_atoms) - np.repeat(starts0, mol_sizes)
+    old2new[:total_atoms] = np.repeat(start, mol_sizes) + within
+    new_atom = old2new[:total_atoms]
+
+    def _scatter_atoms(arr, fill=0):
+        out = np.full((A2,) + arr.shape[1:], fill, arr.dtype)
+        out[new_atom] = arr[:total_atoms]
+        return out
+
+    mol_slot = (bin_of.astype(np.int64) * mb + local).astype(np.int32)
+
+    atom_mol2 = np.full(A2, B2, np.int32)
+    atom_mol2[new_atom] = mol_slot[amol[:total_atoms]]
+    atom_mask2 = np.zeros(A2, bool)
+    atom_mask2[new_atom] = True
+
+    # --- edges: indices remapped; per-edge bin derivable from dst ---
+    emask = np.asarray(batch.edge_mask)
+    src2 = np.where(emask, old2new[np.asarray(batch.edge_src)], 0).astype(np.int32)
+    dst2 = np.where(emask, old2new[np.asarray(batch.edge_dst)], A2).astype(np.int32)
+
+    # --- dense per-bin adjacency (multiplicity counts hop-duplicate edges,
+    # preserving the union-over-hops Q1 semantics exactly) ---
+    es, ed = src2[emask].astype(np.int64), dst2[emask].astype(np.int64)
+    flat = (ed // ab) * (ab * ab) + (ed % ab) * ab + (es % ab)
+    uniq, counts = np.unique(flat, return_counts=True)
+    if counts.size and counts.max() > 127:
+        raise BinningError(f"edge multiplicity {counts.max()} exceeds int8")
+    adj = np.zeros(nbins_padded * ab * ab, np.int8)
+    adj[uniq] = counts
+    adj = adj.reshape(nbins_padded, ab, ab)
+
+    # --- molecule-membership pooling matrix ---
+    pool = np.zeros((nbins_padded, mb, ab), np.int8)
+    pool[new_atom // ab, atom_mol2[new_atom] % mb, new_atom % ab] = 1
+
+    # --- graph-level arrays into the slotted molecule space ---
+    def _scatter_mols(arr, fill=0.0):
+        out = np.full((B2,) + arr.shape[1:], fill, arr.dtype)
+        out[mol_slot] = arr[:B_real]
+        return out
+
+    graph_mask2 = np.zeros(B2, bool)
+    graph_mask2[mol_slot] = True
+
+    def _remap_idx(ix):
+        ix = np.asarray(ix)
+        return old2new[np.clip(ix, 0, A0)].astype(np.int32)
+
+    return dataclasses.replace(
+        batch,
+        atom_type=_scatter_atoms(np.asarray(batch.atom_type)),
+        hydrogen_count=_scatter_atoms(np.asarray(batch.hydrogen_count)),
+        degree=_scatter_atoms(np.asarray(batch.degree)),
+        hybridization=_scatter_atoms(np.asarray(batch.hybridization)),
+        atom_mol=atom_mol2,
+        atom_mask=atom_mask2,
+        edge_src=src2,
+        edge_dst=dst2,
+        total_charge=_scatter_mols(np.asarray(batch.total_charge)),
+        targets=_scatter_mols(np.asarray(batch.targets)),
+        graph_mask=graph_mask2,
+        tet_nbrs=np.where(
+            np.asarray(batch.tet_mask)[:, None], _remap_idx(batch.tet_nbrs), A2
+        ).astype(np.int32),
+        cis_pairs=np.where(
+            np.asarray(batch.cis_mask)[:, None], _remap_idx(batch.cis_pairs), A2
+        ).astype(np.int32),
+        trans_pairs=np.where(
+            np.asarray(batch.trans_mask)[:, None], _remap_idx(batch.trans_pairs), A2
+        ).astype(np.int32),
+        bin_adj=adj,
+        pool_mat=pool,
+        # the remap is monotonic on real atoms, so dst-major order survives
+        edges_dst_sorted=batch.edges_dst_sorted,
+        fused_fwd=None,
+        fused_bwd=None,
+    )

@@ -128,6 +128,9 @@ class BatchLoader:
         edge_shards: int = 1,
         halo_shards: int = 1,
         fused_edges: "bool | None" = None,
+        binned: "bool | None" = None,
+        bin_ab: int = 256,
+        bin_mb: int = 48,
     ):
         if edge_shards > 1 and halo_shards > 1:
             raise ValueError("edge_shards and halo_shards are exclusive graph-axis modes")
@@ -140,17 +143,40 @@ class BatchLoader:
         self.stack_devices = stack_devices
         self.edge_shards = edge_shards
         self.halo_shards = halo_shards
+        mol_atoms = np.array([f.num_atoms for f in dataset.features])
+        # Bin-packed dense layout (data/binning.py): the fastest TPU path.
+        # Feasible iff every molecule fits a bin; decided up-front so the
+        # whole loader serves one layout (no mid-epoch shape changes).
+        if binned is None:
+            import jax
+
+            binned = (
+                jax.default_backend() == "tpu"
+                and edge_shards == 1
+                and halo_shards == 1
+                and (mol_atoms.size == 0 or int(mol_atoms.max()) <= bin_ab)
+            )
+        elif binned and mol_atoms.size and int(mol_atoms.max()) > bin_ab:
+            raise ValueError(
+                f"binned layout needs bin_ab >= largest molecule "
+                f"({int(mol_atoms.max())} atoms > {bin_ab})"
+            )
+        self.binned = binned
+        self.bin_ab = bin_ab
+        self.bin_mb = bin_mb
+        self._bin_pins: dict = {}
         # Fused-kernel layouts (ops/fused_edge.py): auto-enabled on TPU
         # for the plain (non-graph-sharded) path where the model uses them.
         if fused_edges is None:
             import jax
 
             fused_edges = (
-                jax.default_backend() == "tpu"
+                not binned
+                and jax.default_backend() == "tpu"
                 and edge_shards == 1
                 and halo_shards == 1
             )
-        self.fused_edges = fused_edges
+        self.fused_edges = fused_edges and not binned
         self._fused_pins: dict = {}
         # running per-device slot minimums so halo batches keep one static
         # shape once warmed (partition_halo treats these as minimums)
@@ -182,6 +208,11 @@ class BatchLoader:
             merged = max(slots.get(name, 0), getattr(self, name))
             slots[name] = merged
             setattr(self, name, merged)
+        if self.binned:
+            merged = max(slots.get("bins", 0), self._bin_pins.get("bins", 0))
+            if merged:
+                slots["bins"] = merged
+                self._bin_pins["bins"] = merged
         return slots
 
     def set_epoch(self, epoch: int) -> None:
@@ -222,7 +253,13 @@ class BatchLoader:
             graph_slots=self.batch_size,
             **kw,
         )
-        if self.fused_edges:
+        if self.binned:
+            from .binning import bin_pack_batch
+
+            batch = bin_pack_batch(
+                batch, ab=self.bin_ab, mb=self.bin_mb, pins=self._bin_pins
+            )
+        elif self.fused_edges:
             from .batching import attach_fused_layouts
 
             batch = attach_fused_layouts(batch, self._fused_pins)
@@ -261,6 +298,11 @@ class BatchLoader:
 
         return repin_fused_shards(shards, self._fused_pins)
 
+    def _rebin(self, shard: MolBatch, target_bins: int) -> MolBatch:
+        from .binning import grow_bins
+
+        return grow_bins(shard, target_bins)
+
     def __iter__(self) -> Iterator[MolBatch]:
         for idx in self._batch_indices():
             if self.stack_devices:
@@ -287,6 +329,16 @@ class BatchLoader:
                     shards = self._partition_halo_shards(shards)
                 if self.fused_edges:
                     shards = self._repin_fused(shards)
+                if self.binned:
+                    # earlier shards may predate a bin-pin growth within
+                    # this stack — they carry fewer bins than the final pin
+                    target = self._bin_pins.get("bins", 0)
+                    shards = [
+                        s
+                        if s.bin_adj.shape[0] == target
+                        else self._rebin(s, target)
+                        for s in shards
+                    ]
                 yield jax.tree_util.tree_map(lambda *xs: np.stack(xs), *shards)
             else:
                 yield self._collate(idx)

@@ -682,6 +682,9 @@ class HDF5BatchLoader:
         stack_devices: int = 0,
         block_batches: int = 16,
         fused_edges: "bool | None" = None,
+        binned: "bool | None" = None,
+        bin_ab: int = 256,
+        bin_mb: int = 48,
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -692,11 +695,29 @@ class HDF5BatchLoader:
         self.num_hosts = num_hosts
         self.stack_devices = stack_devices
         self.block_batches = block_batches
+        # Bin-packed dense layout (data/binning.py): fastest TPU path;
+        # feasible iff every molecule fits one bin (known from HDF5 stats).
+        if binned is None:
+            import jax
+
+            binned = (
+                jax.default_backend() == "tpu"
+                and (dataset.max_atoms_per_mol or 0) <= bin_ab
+            )
+        elif binned and (dataset.max_atoms_per_mol or 0) > bin_ab:
+            raise ValueError(
+                f"binned layout needs bin_ab >= largest molecule "
+                f"({dataset.max_atoms_per_mol} atoms > {bin_ab})"
+            )
+        self.binned = binned
+        self.bin_ab = bin_ab
+        self.bin_mb = bin_mb
+        self._bin_pins: dict = {}
         if fused_edges is None:
             import jax
 
-            fused_edges = jax.default_backend() == "tpu"
-        self.fused_edges = fused_edges
+            fused_edges = jax.default_backend() == "tpu" and not binned
+        self.fused_edges = fused_edges and not binned
         self._fused_pins: dict = {}
         self._epoch = 0
         k = batch_size
@@ -726,7 +747,13 @@ class HDF5BatchLoader:
             tet_slots=self.tet_slots,
             pair_slots=self.pair_slots,
         )
-        if self.fused_edges:
+        if self.binned:
+            from .binning import bin_pack_batch
+
+            batch = bin_pack_batch(
+                batch, ab=self.bin_ab, mb=self.bin_mb, pins=self._bin_pins
+            )
+        elif self.fused_edges:
             from .batching import attach_fused_layouts
 
             batch = attach_fused_layouts(batch, self._fused_pins)
@@ -771,6 +798,14 @@ class HDF5BatchLoader:
             from .batching import repin_fused_shards
 
             shards = repin_fused_shards(shards, self._fused_pins)
+        if self.binned:
+            from .binning import grow_bins
+
+            target = self._bin_pins.get("bins", 0)
+            shards = [
+                s if s.bin_adj.shape[0] == target else grow_bins(s, target)
+                for s in shards
+            ]
         return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *shards)
 
     def __iter__(self) -> Iterator[MolBatch]:

@@ -149,20 +149,25 @@ class StreamingInferencePipeline:
         loader.pin_slots(self._slots)
         num_tasks = len(self.target_columns)
         if self.mode == "mc_dropout":
-            return predict_mc_dropout(
+            res = predict_mc_dropout(
                 self.model, self.params, loader, self.mc_samples, pipeline=self.pipeline
             )
-        if self.mode == "evidential":
-            return predict_evidential(
+        elif self.mode == "evidential":
+            res = predict_evidential(
                 self.model, self.params, loader, num_tasks, pipeline=self.pipeline
             )
-        return predict(
-            self.model,
-            self.params,
-            loader,
-            pipeline=self.pipeline,
-            return_embeddings=self.save_embeddings,
-        )
+        else:
+            res = predict(
+                self.model,
+                self.params,
+                loader,
+                pipeline=self.pipeline,
+                return_embeddings=self.save_embeddings,
+            )
+        # harvest pins that grew while iterating (e.g. the binned layout's
+        # bin count) so the next chunk reuses the compiled shape
+        loader.pin_slots(self._slots)
+        return res
 
     def _result_frame(self, ds: MoleculeDataset, res: Dict[str, np.ndarray]) -> pd.DataFrame:
         out = {"smiles": ds.smiles}

@@ -34,9 +34,18 @@ from flax import struct
 
 from ..data.batching import MolBatch
 from ..ops import segment_sum
+from ..ops.embed import embed_concat_onehot
 from ..utils.activation import get_activation_function
 from .layers import Linear, MultiLayerPerceptron, ShellConvolutionLayer
-from .pooling import MultiHeadAttentionPooling, max_pool, mean_pool, sum_pool
+from .pooling import (
+    MultiHeadAttentionPooling,
+    binned_max_pool,
+    binned_mean_pool,
+    binned_sum_pool,
+    max_pool,
+    mean_pool,
+    sum_pool,
+)
 
 # Feature index-space sizes = |vocabulary| + 1 OOV bucket
 # (reference: src/main/runner.py:665-670 and src/datasets/constants.py:9-18).
@@ -151,7 +160,7 @@ class GNN(nn.Module):
         pool_axis = cfg.graph_axis if halo else None
 
         # 1. Embedding lookups (reference gnn.py:262-274)
-        embs = []
+        tables, fields = [], []
         for name, field in (
             ("atom_type_embedding", batch.atom_type),
             ("hydrogen_count_embedding", batch.hydrogen_count),
@@ -159,10 +168,20 @@ class GNN(nn.Module):
             ("hybridization_embedding", batch.hybridization),
         ):
             key = name.replace("_embedding", "")
-            table = self.param(name, _xavier_embed_init, (feature_sizes[key], cfg.embedding_dim))
-            embs.append(jnp.take(table, field, axis=0))
-        x = jnp.concatenate(embs, axis=-1)  # (A, 4*emb)
+            tables.append(
+                self.param(name, _xavier_embed_init, (feature_sizes[key], cfg.embedding_dim))
+            )
+            fields.append(field)
         cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+        if cdt is not None:
+            # one block-diagonal MXU matmul instead of 4 gathers (+ their
+            # scatter backwards); bf16-exact for the 0/1 one-hots.  Pure
+            # jnp ops, so it is autodiff- and shard_map-safe.
+            x = embed_concat_onehot(tables, fields, dtype=cdt)
+        else:
+            x = jnp.concatenate(
+                [jnp.take(t, f, axis=0) for t, f in zip(tables, fields)], axis=-1
+            )  # (A, 4*emb)
 
         # 2. Project + split (reference gnn.py:224-231)
         x = Linear(cfg.hidden_dim, init="xavier", dtype=cdt, name="embedding_projection")(x)
@@ -221,6 +240,7 @@ class GNN(nn.Module):
                     batch.halo_send_idx,
                     batch.fused_fwd,
                     batch.fused_bwd,
+                    batch.bin_adj,
                 )
                 + x_other
             )
@@ -236,6 +256,7 @@ class GNN(nn.Module):
 
         # 5. Pooling (reference gnn.py:249) — mol-embedding tap point
         attention_weights = None
+        binned = batch.pool_mat is not None and pool_axis is None
         if cfg.pooling_type == "attention":
             mol_embeddings, attention_weights = MultiHeadAttentionPooling(
                 num_heads=cfg.attention_num_heads,
@@ -248,18 +269,31 @@ class GNN(nn.Module):
                 batch.atom_mask,
                 B,
                 deterministic=deterministic,
+                pool_mat=batch.pool_mat if binned else None,
             )
         elif cfg.pooling_type == "mean":
-            mol_embeddings = mean_pool(
-                atom_embeddings, batch.atom_mol, batch.atom_mask, B, pool_axis
+            mol_embeddings = (
+                binned_mean_pool(atom_embeddings, batch.pool_mat)
+                if binned
+                else mean_pool(
+                    atom_embeddings, batch.atom_mol, batch.atom_mask, B, pool_axis
+                )
             )
         elif cfg.pooling_type == "max":
-            mol_embeddings = max_pool(
-                atom_embeddings, batch.atom_mol, batch.atom_mask, B, pool_axis
+            mol_embeddings = (
+                binned_max_pool(atom_embeddings, batch.pool_mat)
+                if binned
+                else max_pool(
+                    atom_embeddings, batch.atom_mol, batch.atom_mask, B, pool_axis
+                )
             )
         elif cfg.pooling_type == "sum":
-            mol_embeddings = sum_pool(
-                atom_embeddings, batch.atom_mol, batch.atom_mask, B, pool_axis
+            mol_embeddings = (
+                binned_sum_pool(atom_embeddings, batch.pool_mat)
+                if binned
+                else sum_pool(
+                    atom_embeddings, batch.atom_mol, batch.atom_mask, B, pool_axis
+                )
             )
         else:
             raise ValueError(f"Unsupported pooling type: {cfg.pooling_type}")
@@ -304,6 +338,26 @@ class GNN(nn.Module):
         q = x_other[:, :1]
         f = jnp.clip(x_other[:, 1:2], min=1e-6)
         rest = x_other[:, 2:]
+
+        if batch.pool_mat is not None and graph_axis is None:
+            # bin-packed dense path: per-molecule sums and the broadcast
+            # back to atoms are small batched matmuls (models/pooling.py).
+            nb, mb, ab = batch.pool_mat.shape
+            ohf = batch.pool_mat.astype(jnp.float32)
+            qf = jnp.concatenate([q, f], axis=-1).reshape(nb, ab, 2)
+            QF_u = jnp.einsum("bma,bac->bmc", ohf, qf.astype(jnp.float32))
+            F_u = jnp.clip(QF_u[..., 1:2] + 1e-6, min=1e-6)
+            dQ = batch.total_charge.reshape(nb, mb, 1) - QF_u[..., 0:1]
+            per_atom = jnp.einsum(
+                "bma,bmc->bac", ohf, jnp.concatenate([1.0 / F_u, dQ], axis=-1)
+            )
+            inv_F = per_atom.reshape(-1, 2)[:, 0:1]
+            dQ_a = per_atom.reshape(-1, 2)[:, 1:2]
+            f_new = f * inv_F
+            q_new = q + f_new * dQ_a
+            # uncovered (padding) atoms: inv_F = 0 ⇒ f_new = 0, q_new = q —
+            # matches the segment path where padding is scatter-dropped
+            return jnp.concatenate([q_new, f_new, rest], axis=-1)
 
         seg = jnp.where(batch.atom_mask, batch.atom_mol, B)
         mask = batch.atom_mask[:, None]

@@ -121,6 +121,7 @@ class ShellConvolutionLayer(nn.Module):
         halo_send_idx: jax.Array | None = None,  # (G, Hp) halo mode
         fused_fwd=None,  # ops/fused_edge.py layouts (TPU fast path)
         fused_bwd=None,
+        bin_adj: jax.Array | None = None,  # (bins, ab, ab) int8 dense path
     ) -> jax.Array:
         A, D = x.shape
         K = self.num_hops
@@ -176,7 +177,21 @@ class ShellConvolutionLayer(nn.Module):
             # Union-of-hops aggregation (Q1 semantics): hop chunks 1..K-1 are
             # identically zero, so only the first 2D rows of the kernels see
             # data — compute just those rows.
-            if fused_fwd is not None and self.graph_axis is None:
+            if bin_adj is not None and self.graph_axis is None:
+                # Bin-packed dense path (data/binning.py): molecules are
+                # whole inside ab-atom bins, so the union-of-hops
+                # aggregation is one batched MXU matmul with the int8
+                # multiplicity adjacency — no gather, no scatter, and XLA
+                # differentiates it as the transposed matmul.
+                nb, ab, _ = bin_adj.shape
+                adt = dt if dt is not None else jnp.float32
+                agg = jnp.einsum(
+                    "bij,bjd->bid",
+                    bin_adj.astype(adt),
+                    x.reshape(nb, ab, D).astype(adt),
+                    preferred_element_type=jnp.float32,
+                ).reshape(A, D)
+            elif fused_fwd is not None and self.graph_axis is None:
                 # Pallas fused gather+scatter (ops/fused_edge.py): XLA's row
                 # gather runs at ~3% of HBM BW and dominates the step; the
                 # one-hot MXU formulation replaces both the gather and the

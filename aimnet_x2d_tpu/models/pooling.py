@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import segment_max, segment_mean, segment_softmax, segment_sum
-from .layers import Linear
+from .layers import Linear, _xavier_kernel_init
 
 POOLING_TYPES = ("attention", "mean", "max", "sum")
 
@@ -23,6 +23,81 @@ POOLING_TYPES = ("attention", "mean", "max", "sum")
 # (parallel/halo.py) — each device pools its local atoms and the
 # per-molecule partials are combined with a small (B, D) collective; a
 # molecule split across devices is thereby pooled exactly.
+
+
+# --------------------------------------------------------------------- #
+# Bin-packed dense pooling (data/binning.py): atoms are laid out
+# (bins, ab), molecules (bins, mb), and ``pool_mat[b, m, a]`` marks
+# membership.  Segment scatters become small batched MXU matmuls /
+# masked dense reductions — measured ~10× faster than the scatter
+# formulation on TPU v5e for the flagship batch (BASELINE.md round 2).
+# --------------------------------------------------------------------- #
+
+
+def _binned(x, pool_mat):
+    nb, mb, ab = pool_mat.shape
+    ohf = pool_mat.astype(jnp.float32)
+    xb = x.reshape(nb, ab, -1).astype(jnp.float32)
+    return nb, mb, ab, ohf, xb
+
+
+def binned_sum_pool(x, pool_mat):
+    nb, mb, ab, ohf, xb = _binned(x, pool_mat)
+    return jnp.einsum("bma,bad->bmd", ohf, xb).reshape(nb * mb, -1)
+
+
+def binned_mean_pool(x, pool_mat):
+    nb, mb, ab, ohf, xb = _binned(x, pool_mat)
+    tot = jnp.einsum("bma,bad->bmd", ohf, xb)
+    cnt = jnp.maximum(ohf.sum(axis=2), 1.0)
+    return (tot / cnt[..., None]).reshape(nb * mb, -1)
+
+
+def binned_max_pool(x, pool_mat):
+    nb, mb, ab, ohf, xb = _binned(x, pool_mat)
+    big = jnp.where(
+        pool_mat[:, :, :, None] > 0, xb[:, None, :, :], -jnp.inf
+    )  # (bins, mb, ab, D) — fused into the reduce by XLA
+    out = jnp.max(big, axis=2)
+    out = jnp.where(jnp.isneginf(out), 0.0, out)  # empty slots → 0 like segment_max
+    return out.reshape(nb * mb, -1)
+
+
+def binned_attention_softmax(scores, pool_mat):
+    """Per-molecule masked softmax of per-atom scores.
+
+    scores: (H, A) → attention weights (H, A); padding / uncovered atoms
+    get weight 0.  All reductions are dense per-bin ops.
+    """
+    nb, mb, ab = pool_mat.shape
+    H = scores.shape[0]
+    ohf = pool_mat.astype(jnp.float32)
+    s = scores.T.reshape(nb, ab, H)  # (bins, ab, H)
+    cover = pool_mat.sum(axis=1) > 0  # (bins, ab)
+    neg = jnp.float32(-1e30)
+    smax = jnp.max(
+        jnp.where(pool_mat[..., None] > 0, s[:, None, :, :], neg), axis=2
+    )  # (bins, mb, H)
+    satom = jnp.einsum("bma,bmh->bah", ohf, jax.lax.stop_gradient(smax))
+    e = jnp.where(cover[..., None], jnp.exp(s - satom), 0.0)
+    denom = jnp.einsum("bma,bah->bmh", ohf, e)  # (bins, mb, H)
+    denom_atom = jnp.einsum("bma,bmh->bah", ohf, denom)
+    w = e / jnp.maximum(denom_atom, 1e-16)  # (bins, ab, H)
+    return w.reshape(nb * ab, H).T
+
+
+def binned_attention_pool(x, attn, pool_mat):
+    """Weighted per-molecule sums for every head, then head average.
+
+    x: (A, D) float; attn: (H, A) softmax weights; → (bins·mb, D).
+    """
+    nb, mb, ab = pool_mat.shape
+    H = attn.shape[0]
+    ohf = pool_mat.astype(jnp.float32)
+    xb = x.reshape(nb, ab, -1).astype(jnp.float32)
+    w = attn.T.reshape(nb, ab, H)
+    pooled = jnp.einsum("bma,bah,bad->bmhd", ohf, w, xb)
+    return pooled.mean(axis=2).reshape(nb * mb, -1)
 
 
 def mean_pool(x, atom_mol, atom_mask, num_graphs, graph_axis=None):
@@ -59,6 +134,22 @@ def sum_pool(x, atom_mol, atom_mask, num_graphs, graph_axis=None):
     return out
 
 
+class _HeadParams(nn.Module):
+    """Parameter container matching ``Linear(1, init='xavier')``'s tree
+    (kernel (D, 1) + zero bias) so checkpoints stay layout-compatible while
+    the per-head score matvecs run as ONE (A, D) @ (D, H) matmul — four
+    separate matvecs each re-read the whole atom array (~1.4 ms/step on the
+    flagship batch, BASELINE.md round 2)."""
+
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", _xavier_kernel_init, (self.in_features, 1))
+        b = self.param("bias", nn.initializers.zeros_init(), (1,))
+        return k, b
+
+
 class MultiHeadAttentionPooling(nn.Module):
     """Multi-head attention pooling
     (reference: src/models/pooling.py:83-172).
@@ -75,16 +166,32 @@ class MultiHeadAttentionPooling(nn.Module):
     graph_axis: str | None = None  # halo-sharded atoms: see module comment
 
     @nn.compact
-    def __call__(self, x, atom_mol, atom_mask, num_graphs, *, deterministic=True):
+    def __call__(
+        self, x, atom_mol, atom_mask, num_graphs, *, deterministic=True, pool_mat=None
+    ):
         temperature = self.param(
             "temperature",
             lambda key: jnp.asarray(self.initial_temperature, jnp.float32),
         )
-        scores = []
-        for i in range(self.num_heads):
-            s = Linear(1, init="xavier", name=f"attention_weights_{i}")(x)[..., 0]
-            scores.append(s / temperature)
-        scores = jnp.stack(scores, axis=0)  # (H, A)
+        heads = [
+            _HeadParams(x.shape[-1], name=f"attention_weights_{i}")()
+            for i in range(self.num_heads)
+        ]
+        kernel = jnp.concatenate([k for k, _ in heads], axis=1)  # (D, H)
+        bias = jnp.concatenate([b for _, b in heads])  # (H,)
+        scores = (
+            jnp.dot(x, kernel.astype(x.dtype)).astype(jnp.float32) + bias
+        ).T / temperature  # (H, A)
+
+        if pool_mat is not None and self.graph_axis is None:
+            # bin-packed dense path (no scatters; see module comment)
+            attn = binned_attention_softmax(scores, pool_mat)
+            pooled = binned_attention_pool(x, attn, pool_mat)
+            if self.dropout_prob > 0:
+                pooled = nn.Dropout(self.dropout_prob)(
+                    pooled, deterministic=deterministic
+                )
+            return pooled, attn
 
         seg_ids = jnp.where(atom_mask, atom_mol, num_graphs)
         if self.graph_axis is None:

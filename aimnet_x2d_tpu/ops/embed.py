@@ -1,0 +1,51 @@
+"""Multi-feature embedding lookup as one block-diagonal MXU matmul.
+
+XLA lowers ``table[ids]`` gathers (and their scatter-add backwards) to
+row-serial HBM traffic — measured ~1.5 ms forward + ~4.5 ms backward per
+train step across the four feature tables for the flagship batch
+(BASELINE.md round 2), independent of table size.  Both directions are
+replaced here by dense matmuls that the MXU executes in ~0.2 ms.
+
+Reference counterpart: four ``nn.Embedding`` lookups concatenated
+(reference src/models/gnn.py:262-274); semantics are identical, with table
+values rounded to the compute dtype exactly where bf16 mode rounds them
+anyway (the projection that consumes them).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def embed_concat_onehot(tables, ids, dtype=jnp.bfloat16):
+    """Concatenated multi-feature embedding as ONE block-diagonal matmul.
+
+    ``concat([T_i[ids_i] for i])`` re-reads the atom axis once per feature
+    (4 gathers + their scatter/matmul backwards).  Since the one-hot rows of
+    all features can be concatenated, the whole lookup is
+    ``onehot_cat (A, ΣV) @ blockdiag(T_1..T_n) (ΣV, ΣD)`` — a single MXU
+    matmul whose backward is also a single matmul; XLA autodiff slices the
+    block-diagonal gradient back to the per-table params.  Pure jnp ops:
+    safe under jit, grad, and shard_map.
+
+    Intended for bf16 compute (0/1 one-hots are exact; table values round
+    to bf16 like every other bf16-mode operand).
+    """
+    Vs = [int(t.shape[0]) for t in tables]
+    Ds = [int(t.shape[1]) for t in tables]
+    D = sum(Ds)
+    rows = []
+    c0 = 0
+    for t, d in zip(tables, Ds):
+        rows.append(jnp.pad(t.astype(dtype), ((0, 0), (c0, D - c0 - d))))
+        c0 += d
+    blockdiag = jnp.concatenate(rows, axis=0)  # (ΣV, ΣD)
+
+    onehot = jnp.concatenate(
+        [
+            (i[:, None] == jnp.arange(v, dtype=i.dtype)[None, :]).astype(dtype)
+            for i, v in zip(ids, Vs)
+        ],
+        axis=1,
+    )  # (A, ΣV): one 1 per feature block
+    return jnp.dot(onehot, blockdiag, preferred_element_type=jnp.float32).astype(dtype)

@@ -51,8 +51,9 @@ def predict(
             am = np.asarray(batch.atom_mask)
             mols.append(np.asarray(out.mol_embeddings)[gm])
             atoms.append(np.asarray(out.atom_embeddings)[am])
-            # remap graph ids to global molecule order
-            local = np.asarray(batch.atom_mol)[am]
+            # remap graph slot ids to dense global molecule order (binned
+            # layouts intersperse padding slots, so rank via graph_mask)
+            local = _dense_mol_rank(gm, np.asarray(batch.atom_mol)[am])
             offset = sum(int(x.shape[0]) for x in mols[:-1])
             atom_mols.append(local + offset)
     result: Dict[str, np.ndarray] = {"predictions": np.concatenate(preds)}
@@ -167,7 +168,16 @@ def extract_partial_charges(
         if out.partial_charges is None:
             raise ValueError("Model was not built with use_partial_charges=True")
         am = np.asarray(batch.atom_mask)
+        gm = np.asarray(batch.graph_mask)
         charges.append(np.asarray(out.partial_charges)[am])
-        mol_idx.append(np.asarray(batch.atom_mol)[am] + offset)
-        offset += int(np.asarray(batch.graph_mask).sum())
+        mol_idx.append(_dense_mol_rank(gm, np.asarray(batch.atom_mol)[am]) + offset)
+        offset += int(gm.sum())
     return np.concatenate(charges), np.concatenate(mol_idx)
+
+
+def _dense_mol_rank(graph_mask: np.ndarray, slot_ids: np.ndarray) -> np.ndarray:
+    """Map graph-slot ids of real atoms to 0..n_real-1 rank.  Identity for
+    flat layouts; collapses the interspersed padding slots of binned
+    layouts (data/binning.py)."""
+    real = np.flatnonzero(graph_mask)
+    return np.searchsorted(real, slot_ids).astype(np.int64)

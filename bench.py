@@ -65,7 +65,9 @@ def _flagship_config():
         task_type="multitask",
         shell_conv_dropout=0.0,
         ffn_dropout=0.0,
-        remat=os.environ.get("BENCH_REMAT", "1") == "1",
+        # remat off by default: the binned layout fits 32k molecules in HBM
+        # without it, and the replay costs ~12% step time (BASELINE.md)
+        remat=os.environ.get("BENCH_REMAT", "0") == "1",
         compute_dtype="bfloat16" if os.environ.get("BENCH_BF16", "1") == "1" else "float32",
     )
 
@@ -113,7 +115,13 @@ def measure(num_graphs: int):
     batch = make_synthetic_batch(
         num_graphs=num_graphs, mean_atoms=18, num_hops=NUM_HOPS, num_tasks=12, seed=0
     )
-    if os.environ.get("BENCH_FUSED", "1") == "1" and jax.default_backend() == "tpu":
+    if os.environ.get("BENCH_BINNED", "1") == "1" and jax.default_backend() == "tpu":
+        # bin-packed dense layout (data/binning.py): MP aggregation and
+        # pooling as batched MXU matmuls — the fastest path
+        from aimnet_x2d_tpu.data.binning import bin_pack_batch
+
+        batch = bin_pack_batch(batch)
+    elif os.environ.get("BENCH_FUSED", "1") == "1" and jax.default_backend() == "tpu":
         from aimnet_x2d_tpu.data.batching import attach_fused_layouts
 
         batch = attach_fused_layouts(batch)

@@ -1,0 +1,176 @@
+"""Bin-packed dense layout (data/binning.py): equality with the flat path.
+
+The binned layout must be a pure re-indexing: forward outputs, gradients,
+and every pooling variant must match the flat segment formulation on the
+same molecules (up to matmul-vs-scatter fp reassociation).
+"""
+
+import dataclasses
+
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aimnet_x2d_tpu.data.binning import BinningError, bin_pack_batch, plan_bins
+from aimnet_x2d_tpu.data.synthetic import make_synthetic_batch
+from aimnet_x2d_tpu.models import GNN, GNNConfig
+
+
+def _cfg(**kw):
+    base = dict(
+        hidden_dim=64,
+        output_dim=3,
+        num_shells=3,
+        num_message_passing_layers=2,
+        embedding_dim=8,
+        ffn_num_layers=2,
+        pooling_type="attention",
+        task_type="multitask",
+        shell_conv_dropout=0.0,
+        ffn_dropout=0.0,
+    )
+    base.update(kw)
+    return GNNConfig(**base)
+
+
+def _mol_order_map(flat, binned):
+    """Real-mol slots of each layout, in preserved molecule order."""
+    f = np.flatnonzero(np.asarray(flat.graph_mask))
+    b = np.flatnonzero(np.asarray(binned.graph_mask))
+    assert f.shape == b.shape
+    return f, b
+
+
+@pytest.fixture(scope="module")
+def batches():
+    flat = make_synthetic_batch(num_graphs=37, mean_atoms=14, num_hops=3, num_tasks=3, seed=5)
+    binned = bin_pack_batch(flat, ab=64, mb=16)
+    return flat, binned
+
+
+def test_layout_invariants(batches):
+    flat, binned = batches
+    nb, ab, _ = binned.bin_adj.shape
+    assert binned.num_atom_slots == nb * ab
+    assert binned.pool_mat.shape[0] == nb
+    # conservation: same real atom/edge/mol counts
+    assert binned.atom_mask.sum() == flat.atom_mask.sum()
+    assert binned.edge_mask.sum() == flat.edge_mask.sum()
+    assert binned.graph_mask.sum() == flat.graph_mask.sum()
+    # adjacency total multiplicity == real edge count
+    assert int(binned.bin_adj.sum()) == int(flat.edge_mask.sum())
+    # every real atom covered exactly once by pool_mat
+    cover = np.asarray(binned.pool_mat).sum(axis=1).reshape(-1)
+    assert np.array_equal(cover > 0, np.asarray(binned.atom_mask))
+    assert cover.max() == 1
+    # targets preserved in molecule order
+    f, b = _mol_order_map(flat, binned)
+    np.testing.assert_array_equal(
+        np.asarray(flat.targets)[f], np.asarray(binned.targets)[b]
+    )
+    # edges stay within one bin and bin-adj matches the edge list
+    src = np.asarray(binned.edge_src)[np.asarray(binned.edge_mask)]
+    dst = np.asarray(binned.edge_dst)[np.asarray(binned.edge_mask)]
+    assert np.array_equal(src // ab, dst // ab)
+    rebuilt = np.zeros((nb, ab, ab), np.int32)
+    np.add.at(rebuilt, (dst // ab, dst % ab, src % ab), 1)
+    np.testing.assert_array_equal(rebuilt, np.asarray(binned.bin_adj).astype(np.int32))
+
+
+@pytest.mark.parametrize("pooling", ["attention", "mean", "max", "sum"])
+def test_forward_equality(batches, pooling):
+    flat, binned = batches
+    cfg = _cfg(pooling_type=pooling, use_partial_charges=True, use_stereochemistry=True)
+    model = GNN(cfg)
+    params = model.init(jax.random.PRNGKey(0), flat)
+    out_f = model.apply(params, flat)
+    out_b = model.apply(params, binned)
+    f, b = _mol_order_map(flat, binned)
+    np.testing.assert_allclose(
+        np.asarray(out_f.predictions)[f],
+        np.asarray(out_b.predictions)[b],
+        rtol=2e-4,
+        atol=2e-5,
+    )
+    # atom embeddings at real atoms match (flat order vs binned order)
+    fa = np.flatnonzero(np.asarray(flat.atom_mask))
+    ba = np.flatnonzero(np.asarray(binned.atom_mask))
+    np.testing.assert_allclose(
+        np.asarray(out_f.atom_embeddings)[fa],
+        np.asarray(out_b.atom_embeddings)[ba],
+        rtol=2e-4,
+        atol=2e-5,
+    )
+
+
+def test_attention_weights_equality(batches):
+    flat, binned = batches
+    cfg = _cfg()
+    model = GNN(cfg)
+    params = model.init(jax.random.PRNGKey(0), flat)
+    wf = np.asarray(model.apply(params, flat).attention_weights)
+    wb = np.asarray(model.apply(params, binned).attention_weights)
+    fa = np.flatnonzero(np.asarray(flat.atom_mask))
+    ba = np.flatnonzero(np.asarray(binned.atom_mask))
+    np.testing.assert_allclose(wf[:, fa], wb[:, ba], rtol=2e-4, atol=1e-6)
+
+
+def test_gradient_equality(batches):
+    flat, binned = batches
+    cfg = _cfg()
+    model = GNN(cfg)
+    params = model.init(jax.random.PRNGKey(0), flat)
+
+    def loss(p, batch):
+        out = model.apply(p, batch)
+        m = batch.graph_mask[:, None]
+        err = jnp.where(m, out.predictions - batch.targets, 0.0)
+        return jnp.abs(err).sum() / batch.graph_mask.sum()
+
+    gf = jax.grad(loss)(params, flat)
+    gb = jax.grad(loss)(params, binned)
+    flat_g, _ = jax.flatten_util.ravel_pytree(gf)
+    binn_g, _ = jax.flatten_util.ravel_pytree(gb)
+    np.testing.assert_allclose(np.asarray(flat_g), np.asarray(binn_g), rtol=5e-4, atol=1e-5)
+
+
+def test_pinned_shapes_across_batches():
+    pins = {}
+    # warm the pin on the largest-packing batch (loaders grow pins
+    # monotonically; a growth event is one bounded recompile)
+    for seed in range(4):
+        flat = make_synthetic_batch(
+            num_graphs=33, mean_atoms=14, num_hops=3, num_tasks=1, seed=seed,
+            graph_slots=33,
+        )
+        bin_pack_batch(flat, ab=64, mb=16, pins=pins)
+    shapes = set()
+    for seed in range(4):
+        flat = make_synthetic_batch(
+            num_graphs=33, mean_atoms=14, num_hops=3, num_tasks=1, seed=seed,
+            graph_slots=33,
+        )
+        b = bin_pack_batch(flat, ab=64, mb=16, pins=pins)
+        shapes.add(
+            (
+                b.num_atom_slots,
+                b.num_graph_slots,
+                b.bin_adj.shape,
+                b.pool_mat.shape,
+            )
+        )
+    assert len(shapes) == 1, shapes
+
+
+def test_oversize_molecule_raises():
+    with pytest.raises(BinningError):
+        plan_bins(np.array([10, 80, 12]), ab=64, mb=16)
+
+
+def test_mol_cap_closes_bin():
+    sizes = np.full(40, 2)
+    bin_of, local, start, nbins = plan_bins(sizes, ab=64, mb=8)
+    assert nbins == 5
+    assert local.max() == 7
