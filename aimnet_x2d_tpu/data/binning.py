@@ -143,11 +143,19 @@ def bin_pack_batch(
     bin_of, local, start, nbins = plan_bins(mol_sizes, ab, mb)
 
     nbins_padded = bucket_size(nbins, align=8)
+    # molecule-slot axis sized to the OBSERVED max molecules per bin (not
+    # the packing cap ``mb``): everything molecule-shaped — pooling matmuls,
+    # FFN, losses — scales with bins×mb_eff, and the cap is ~2× looser than
+    # reality for typical molecule-size mixes
+    mb_eff = bucket_size(int(local.max()) + 1 if local.size else 1, align=8)
     if pins is not None:
         nbins_padded = max(nbins_padded, pins.get("bins", 0))
         pins["bins"] = nbins_padded
+        mb_eff = max(mb_eff, pins.get("mb", 0))
+        pins["mb"] = mb_eff
     A2 = nbins_padded * ab
-    B2 = nbins_padded * mb
+    B2 = nbins_padded * mb_eff
+    mb = mb_eff
 
     # old atom index -> new atom index (padding rows -> A2)
     starts0 = np.concatenate([[0], np.cumsum(mol_sizes)[:-1]])

@@ -36,7 +36,7 @@ from ..data.batching import MolBatch
 from ..ops import segment_sum
 from ..ops.embed import embed_concat_onehot
 from ..utils.activation import get_activation_function
-from .layers import Linear, MultiLayerPerceptron, ShellConvolutionLayer
+from .layers import Linear, LinearParams, MultiLayerPerceptron, ShellConvolutionLayer
 from .pooling import (
     MultiHeadAttentionPooling,
     binned_max_pool,
@@ -183,10 +183,26 @@ class GNN(nn.Module):
                 [jnp.take(t, f, axis=0) for t, f in zip(tables, fields)], axis=-1
             )  # (A, 4*emb)
 
-        # 2. Project + split (reference gnn.py:224-231)
-        x = Linear(cfg.hidden_dim, init="xavier", dtype=cdt, name="embedding_projection")(x)
-        x = act(x)
-        x_self, x_other = jnp.split(x, [cfg.x_self_dim], axis=-1)
+        # 2. Project + split (reference gnn.py:224-231).  The kernel is
+        # column-sliced so x_self / x_other come from two direct matmuls —
+        # no (A, hidden) intermediate + split materialization (exact: the
+        # split commutes with the column blocks and the activation).
+        k_ep, b_ep = LinearParams(
+            cfg.hidden_dim, x.shape[-1], init="xavier", name="embedding_projection"
+        )()
+        xs = cfg.x_self_dim
+
+        def _proj_cols(k, b):
+            if cdt is not None:
+                y = jnp.dot(
+                    x.astype(cdt), k.astype(cdt), preferred_element_type=jnp.float32
+                ).astype(cdt)
+            else:
+                y = jnp.dot(x, k)
+            return act(y + b.astype(y.dtype))
+
+        x_self = _proj_cols(k_ep[:, :xs], b_ep[:xs])
+        x_other = _proj_cols(k_ep[:, xs:], b_ep[xs:])
 
         # Dead params for parity (Q5; reference gnn.py:146,194)
         if cfg.parity_params:
@@ -248,11 +264,32 @@ class GNN(nn.Module):
         if cfg.use_partial_charges and cfg.x_other_dim >= 2:
             partial_charges = x_other[:, 0]
 
-        # 4. Combine (reference gnn.py:245-246) — atom-embedding tap point
-        x_combined = jnp.concatenate([x_self, x_other.astype(x_self.dtype)], axis=-1)
-        atom_embeddings = Linear(
-            cfg.hidden_dim, init="xavier", dtype=cdt, name="concat_self_other"
-        )(x_combined).astype(jnp.float32)
+        # 4. Combine (reference gnn.py:245-246) — atom-embedding tap point.
+        # Row-sliced kernel: the [x_self ‖ x_other] concat is never
+        # materialized (fp32 partial sums; reassociation-only difference).
+        k_cs, b_cs = LinearParams(
+            cfg.hidden_dim, cfg.hidden_dim, init="xavier", name="concat_self_other"
+        )()
+        if cdt is not None:
+            atom_embeddings = (
+                jnp.dot(
+                    x_self.astype(cdt),
+                    k_cs[: cfg.x_self_dim].astype(cdt),
+                    preferred_element_type=jnp.float32,
+                )
+                + jnp.dot(
+                    x_other.astype(cdt),
+                    k_cs[cfg.x_self_dim :].astype(cdt),
+                    preferred_element_type=jnp.float32,
+                )
+                + b_cs
+            ).astype(jnp.float32)
+        else:
+            atom_embeddings = (
+                jnp.dot(x_self, k_cs[: cfg.x_self_dim])
+                + jnp.dot(x_other.astype(x_self.dtype), k_cs[cfg.x_self_dim :])
+                + b_cs
+            ).astype(jnp.float32)
 
         # 5. Pooling (reference gnn.py:249) — mol-embedding tap point
         attention_weights = None
@@ -298,8 +335,11 @@ class GNN(nn.Module):
         else:
             raise ValueError(f"Unsupported pooling type: {cfg.pooling_type}")
 
-        # 6. FFN (reference gnn.py:252-253)
-        h = Linear(cfg.ffn_dim, init="xavier", name="post_pooling_projection")(mol_embeddings)
+        # 6. FFN (reference gnn.py:252-253); bf16 mode extends to the FFN
+        # (fp32 accumulation), with the output head and loss kept fp32
+        h = Linear(cfg.ffn_dim, init="xavier", dtype=cdt, name="post_pooling_projection")(
+            mol_embeddings
+        )
         h = MultiLayerPerceptron(
             hidden_dim=cfg.ffn_dim,
             output_dim=cfg.ffn_dim,
@@ -307,12 +347,13 @@ class GNN(nn.Module):
             activation_type=cfg.activation_type,
             dropout=cfg.ffn_dropout,
             use_skip=True,
+            dtype=cdt,
             name="ffn",
         )(h, deterministic=deterministic)
 
         # 7. Output with skip concat (reference gnn.py:256-258)
-        skip = Linear(cfg.ffn_dim, init="xavier", name="skip_transform")(h)
-        final = jnp.concatenate([h, skip], axis=-1)
+        skip = Linear(cfg.ffn_dim, init="xavier", dtype=cdt, name="skip_transform")(h)
+        final = jnp.concatenate([h, skip], axis=-1).astype(jnp.float32)
         predictions = Linear(cfg.final_output_dim, init="xavier", name="output_layer")(final)
 
         return GNNOutput(

@@ -77,6 +77,32 @@ class Linear(nn.Module):
         return y
 
 
+class LinearParams(nn.Module):
+    """Parameter container with ``Linear``'s exact tree (kernel + bias,
+    same names/inits/RNG path), for call sites that slice the kernel into
+    column/row blocks to skip split/concat materializations of the
+    (A, ·)-sized operands (each costs ~0.4 ms/step on the flagship batch,
+    BASELINE.md round 2).  Checkpoints stay layout-identical."""
+
+    features: int
+    in_features: int
+    init: str = "torch"
+
+    @nn.compact
+    def __call__(self):
+        kinit = _torch_kernel_init if self.init == "torch" else _xavier_kernel_init
+        kernel = self.param("kernel", kinit, (self.in_features, self.features))
+        if self.init == "torch":
+            bound = 1.0 / math.sqrt(self.in_features)
+            binit = lambda key, shape, dtype=jnp.float32: jax.random.uniform(
+                key, shape, dtype, -bound, bound
+            )
+        else:
+            binit = nn.initializers.zeros_init()
+        bias = self.param("bias", binit, (self.features,))
+        return kernel, bias
+
+
 class ShellConvolutionLayer(nn.Module):
     """Multi-hop shell convolution over padded edge lists.
 
@@ -215,8 +241,7 @@ class ShellConvolutionLayer(nn.Module):
                 )
             if need_psum:
                 agg = jax.lax.psum(agg, self.graph_axis)
-            inp = jnp.concatenate([x, agg.astype(x.dtype)], axis=-1)  # (A, 2D)
-            used = 2 * D
+            parts = [x, agg.astype(x.dtype)]  # live (A, 2D) of the (K+1)D input
         else:
             # True per-hop aggregation: scatter into a (K*A, D) buffer keyed
             # by (hop-1)*A + dst, then unstack per hop.
@@ -224,22 +249,30 @@ class ShellConvolutionLayer(nn.Module):
             agg = segment_sum(_src_feat(), flat_idx, K * A).reshape(K, A, D)
             if need_psum:
                 agg = jax.lax.psum(agg, self.graph_axis)
-            inp = jnp.concatenate(
-                [x] + [agg[h].astype(x.dtype) for h in range(K)], axis=-1
-            )
-            used = in_dim
+            parts = [x] + [agg[h].astype(x.dtype) for h in range(K)]
+        used = D * len(parts)
 
-        def _proj(v, w, b):
+        def _proj(w, b):
+            # The input concat is never materialized: each (A, D) part hits
+            # its kernel row-block directly (exact column arithmetic; the
+            # fp32 partial sums differ from one fused dot only by add
+            # reassociation).  Saves the (A, used) concat + its backward
+            # split — ~0.8 ms/step on the flagship batch.
+            blocks = [w[i * D : (i + 1) * D] for i in range(len(parts))]
             if dt is not None:
-                y = jnp.dot(
-                    v.astype(dt), w.astype(dt), preferred_element_type=jnp.float32
-                ).astype(dt)
-                return y + b.astype(dt)
-            return jnp.dot(v, w) + b
+                y = sum(
+                    jnp.dot(
+                        p.astype(dt), wb.astype(dt),
+                        preferred_element_type=jnp.float32,
+                    )
+                    for p, wb in zip(parts, blocks)
+                )
+                return y.astype(dt) + b.astype(dt)
+            return sum(jnp.dot(p, wb) for p, wb in zip(parts, blocks)) + b
 
-        h = _proj(inp, w_in[:used], b_in)
+        h = _proj(w_in[:used], b_in)
         h = act(h)
-        global_skip = _proj(inp, w_skip[:used], b_skip)
+        global_skip = _proj(w_skip[:used], b_skip)
 
         for i in range(self.num_mlp_layers):
             layer_skip = h
@@ -261,17 +294,18 @@ class LinearBlock(nn.Module):
     activation_type: str = "silu"
     dropout: float = 0.0
     use_skip: bool = True
+    dtype: Any = None  # bf16 compute; params and accumulation stay fp32
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         act = get_activation_function(self.activation_type)
         identity = x
-        out = Linear(self.features, name="linear1")(x)
+        out = Linear(self.features, dtype=self.dtype, name="linear1")(x)
         out = act(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
-        out = Linear(self.features, name="linear2")(out)
+        out = Linear(self.features, dtype=self.dtype, name="linear2")(out)
         if self.use_skip and x.shape[-1] == self.features:
-            out = out + identity
+            out = out + identity.astype(out.dtype)
         return out
 
 
@@ -284,15 +318,18 @@ class MultiLayerPerceptron(nn.Module):
     activation_type: str = "silu"
     dropout: float = 0.0
     use_skip: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         if self.num_layers == 1:
             return LinearBlock(
-                self.output_dim, self.activation_type, self.dropout, False, name="block_0"
+                self.output_dim, self.activation_type, self.dropout, False,
+                self.dtype, name="block_0"
             )(x, deterministic=deterministic)
         x = LinearBlock(
-            self.hidden_dim, self.activation_type, self.dropout, False, name="block_0"
+            self.hidden_dim, self.activation_type, self.dropout, False,
+            self.dtype, name="block_0"
         )(x, deterministic=deterministic)
         for i in range(self.num_layers - 2):
             x = LinearBlock(
@@ -300,6 +337,7 @@ class MultiLayerPerceptron(nn.Module):
                 self.activation_type,
                 self.dropout,
                 self.use_skip,
+                self.dtype,
                 name=f"block_{i + 1}",
             )(x, deterministic=deterministic)
         return LinearBlock(
@@ -307,5 +345,6 @@ class MultiLayerPerceptron(nn.Module):
             self.activation_type,
             self.dropout,
             False,
+            self.dtype,
             name=f"block_{self.num_layers - 1}",
         )(x, deterministic=deterministic)
