@@ -73,25 +73,41 @@ def plan_bins(mol_sizes: np.ndarray, ab: int, mb: int):
     return bin_of, local, start, b + 1
 
 
-def grow_bins(batch: MolBatch, target_bins: int) -> MolBatch:
-    """Pad an already-binned batch with empty bins (static-shape repin)."""
+def grow_bins(
+    batch: MolBatch, target_bins: int, target_mb: "int | None" = None
+) -> MolBatch:
+    """Re-pad an already-binned batch to more bins and/or more molecule
+    slots per bin (static-shape repin after a pin grew mid-stack)."""
     nb, ab, _ = batch.bin_adj.shape
-    if target_bins < nb:
+    mb_old = batch.pool_mat.shape[1]
+    mb = target_mb if target_mb is not None else mb_old
+    if target_bins < nb or mb < mb_old:
         raise ValueError("grow_bins cannot shrink")
-    if target_bins == nb:
+    if target_bins == nb and mb == mb_old:
         return batch
-    mb = batch.pool_mat.shape[1]
-    extra = target_bins - nb
     A_old, A_new = nb * ab, target_bins * ab
-    B_new = target_bins * mb
+    B_old, B_new = nb * mb_old, target_bins * mb
 
     def _pad(arr, n, fill):
         pad_width = [(0, n - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
         return np.pad(arr, pad_width, constant_values=fill)
 
-    def _remap(ix):  # one-past-the-end padding index moves with A
+    def _remap_atom(ix):  # one-past-the-end padding index moves with A
         ix = np.asarray(ix)
         return np.where(ix >= A_old, A_new, ix).astype(np.int32)
+
+    def _remap_slot(s):  # slot = bin·mb + local re-keyed to the new mb
+        s = np.asarray(s).astype(np.int64)
+        return np.where(s >= B_old, B_new, (s // mb_old) * mb + s % mb_old)
+
+    def _rescatter_mols(arr, fill=0.0):
+        out = np.full((B_new,) + arr.shape[1:], fill, arr.dtype)
+        old = np.flatnonzero(np.asarray(batch.graph_mask))
+        out[_remap_slot(old)] = np.asarray(arr)[old]
+        return out
+
+    gmask = np.zeros(B_new, bool)
+    gmask[_remap_slot(np.flatnonzero(np.asarray(batch.graph_mask)))] = True
 
     return dataclasses.replace(
         batch,
@@ -100,23 +116,23 @@ def grow_bins(batch: MolBatch, target_bins: int) -> MolBatch:
         degree=_pad(np.asarray(batch.degree), A_new, 0),
         hybridization=_pad(np.asarray(batch.hybridization), A_new, 0),
         atom_mol=_pad(
-            np.where(
-                np.asarray(batch.atom_mol) >= nb * mb, B_new, np.asarray(batch.atom_mol)
-            ).astype(np.int32),
-            A_new,
-            B_new,
+            _remap_slot(batch.atom_mol).astype(np.int32), A_new, B_new
         ),
         atom_mask=_pad(np.asarray(batch.atom_mask), A_new, False),
         edge_src=np.asarray(batch.edge_src),
-        edge_dst=_remap(batch.edge_dst),
-        total_charge=_pad(np.asarray(batch.total_charge), B_new, 0.0),
-        targets=_pad(np.asarray(batch.targets), B_new, 0.0),
-        graph_mask=_pad(np.asarray(batch.graph_mask), B_new, False),
-        tet_nbrs=_remap(batch.tet_nbrs),
-        cis_pairs=_remap(batch.cis_pairs),
-        trans_pairs=_remap(batch.trans_pairs),
+        edge_dst=_remap_atom(batch.edge_dst),
+        total_charge=_rescatter_mols(batch.total_charge),
+        targets=_rescatter_mols(batch.targets),
+        graph_mask=gmask,
+        tet_nbrs=_remap_atom(batch.tet_nbrs),
+        cis_pairs=_remap_atom(batch.cis_pairs),
+        trans_pairs=_remap_atom(batch.trans_pairs),
         bin_adj=_pad(np.asarray(batch.bin_adj), target_bins, 0),
-        pool_mat=_pad(np.asarray(batch.pool_mat), target_bins, 0),
+        pool_mat=_pad(
+            np.pad(np.asarray(batch.pool_mat), ((0, 0), (0, mb - mb_old), (0, 0))),
+            target_bins,
+            0,
+        ),
     )
 
 

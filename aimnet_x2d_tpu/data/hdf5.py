@@ -801,9 +801,12 @@ class HDF5BatchLoader:
         if self.binned:
             from .binning import grow_bins
 
-            target = self._bin_pins.get("bins", 0)
+            tb = self._bin_pins.get("bins", 0)
+            tm = self._bin_pins.get("mb", 0)
             shards = [
-                s if s.bin_adj.shape[0] == target else grow_bins(s, target)
+                s
+                if s.bin_adj.shape[0] == tb and s.pool_mat.shape[1] == tm
+                else grow_bins(s, tb, tm)
                 for s in shards
             ]
         return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *shards)

@@ -1,0 +1,335 @@
+"""Native binned-batch builder (ctypes to native/batch_builder.cpp).
+
+The Python collate + bin-pack path costs ~290 ms/batch at 8192 molecules —
+10× the optimized TPU train step it feeds.  This wrapper builds the binned
+MolBatch straight from a columnar dataset cache in one native pass
+(~10 ms), with the Python path (`batching.collate` → `binning.
+bin_pack_batch`) as the executable specification: `tests/test_native_batch.
+py` asserts array-exact equality.
+
+Everything cheap/ragged-free stays in vectorized numpy here (targets and
+stereo scatter); the per-molecule loops (atom copy, edge remap + stable
+dst sort, adjacency, pool matrix) run in C++.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import dataclasses
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from .batching import MolBatch, MolFeatures, bucket_size
+from .binning import BinningError
+
+_LIB = None
+_TRIED = False
+
+
+def load_library():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    from ..chem.native import _find_library  # same .so as the featurizer
+
+    import os
+
+    if os.environ.get("AIMNET_NO_NATIVE"):
+        return None
+    path = _find_library()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.aimnet_bin_plan  # present only after a rebuild with batch_builder.cpp
+    except (OSError, AttributeError):
+        return None
+
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.aimnet_bin_plan.restype = ctypes.c_int
+    lib.aimnet_bin_plan.argtypes = [
+        i64p, i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        i32p, i32p, i64p, i32p, i32p,
+    ]
+    lib.aimnet_bin_fill.restype = ctypes.c_int64
+    lib.aimnet_bin_fill.argtypes = (
+        [i32p] * 4 + [i64p] + [i32p] * 3 + [i64p]          # columnar cache
+        + [i32p, ctypes.c_int64, i32p, i32p, i64p]          # selection + plan
+        + [ctypes.c_int64, ctypes.c_int32, ctypes.c_int32]  # nbins, ab, mb
+        + [i32p] * 5 + [u8p] + [i32p] * 3 + [u8p] + [i8p, i8p]
+        + [ctypes.c_int64, ctypes.c_int32]                  # e_slots, clear
+    )
+    _LIB = lib
+    return _LIB
+
+
+def _p(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+@dataclasses.dataclass
+class ColumnarCache:
+    """Dataset-wide columnar arrays (one-time build from MolFeatures)."""
+
+    atom_type: np.ndarray  # (ΣN,) int32
+    hydrogen_count: np.ndarray
+    degree: np.ndarray
+    hybridization: np.ndarray
+    mol_atom_off: np.ndarray  # (B+1,) int64
+    edge_dst: np.ndarray  # (ΣE,) int32 LOCAL indices, hop-major per mol
+    edge_src: np.ndarray
+    edge_hop: np.ndarray
+    mol_edge_off: np.ndarray  # (B+1,) int64
+    tet: np.ndarray  # (ΣC, 4) int32 local
+    mol_tet_off: np.ndarray
+    cis: np.ndarray  # (ΣP, 2) int32 local (pre-Q7-duplication)
+    mol_cis_off: np.ndarray
+    trans: np.ndarray
+    mol_trans_off: np.ndarray
+    total_charge: np.ndarray  # (B,) float32
+
+    @staticmethod
+    def from_features(feats: Sequence[MolFeatures], num_hops: int) -> "ColumnarCache":
+        B = len(feats)
+        a_off = np.zeros(B + 1, np.int64)
+        e_off = np.zeros(B + 1, np.int64)
+        t_off = np.zeros(B + 1, np.int64)
+        c_off = np.zeros(B + 1, np.int64)
+        r_off = np.zeros(B + 1, np.int64)
+        at, hc, dg, hy = [], [], [], []
+        ed, es, eh = [], [], []
+        tets, ciss, transs = [], [], []
+        for i, m in enumerate(feats):
+            a_off[i + 1] = a_off[i] + m.num_atoms
+            at.append(m.atom_type)
+            hc.append(m.hydrogen_count)
+            dg.append(m.degree)
+            hy.append(m.hybridization)
+            ne = 0
+            for h in range(num_hops):
+                if h < len(m.edge_hops) and m.edge_hops[h].shape[1] > 0:
+                    e = m.edge_hops[h]
+                    ed.append(e[0])  # row 0 = origin = message destination
+                    es.append(e[1])
+                    eh.append(np.full(e.shape[1], h + 1, np.int32))
+                    ne += e.shape[1]
+            e_off[i + 1] = e_off[i] + ne
+            t = m.tet_nbrs
+            if t.size and t.ndim == 2 and t.shape[1] == 4:  # Q12 filter
+                tets.append(t)
+                t_off[i + 1] = t_off[i] + t.shape[0]
+            else:
+                t_off[i + 1] = t_off[i]
+            c = m.cis_pairs
+            ciss.append(c.reshape(-1, 2) if c.size else np.zeros((0, 2), np.int32))
+            c_off[i + 1] = c_off[i] + ciss[-1].shape[0]
+            r = m.trans_pairs
+            transs.append(r.reshape(-1, 2) if r.size else np.zeros((0, 2), np.int32))
+            r_off[i + 1] = r_off[i] + transs[-1].shape[0]
+
+        def _cat(parts, shape):
+            if parts:
+                return np.ascontiguousarray(np.concatenate(parts).astype(np.int32))
+            return np.zeros(shape, np.int32)
+
+        return ColumnarCache(
+            atom_type=_cat(at, 0),
+            hydrogen_count=_cat(hc, 0),
+            degree=_cat(dg, 0),
+            hybridization=_cat(hy, 0),
+            mol_atom_off=a_off,
+            edge_dst=_cat(ed, 0),
+            edge_src=_cat(es, 0),
+            edge_hop=_cat(eh, 0),
+            mol_edge_off=e_off,
+            tet=_cat(tets, (0, 4)).reshape(-1, 4),
+            mol_tet_off=t_off,
+            cis=_cat(ciss, (0, 2)).reshape(-1, 2),
+            mol_cis_off=c_off,
+            trans=_cat(transs, (0, 2)).reshape(-1, 2),
+            mol_trans_off=r_off,
+            total_charge=np.array([m.total_charge for m in feats], np.float32),
+        )
+
+
+def _gather_ragged(values, offsets, indices, starts):
+    """Concatenate per-molecule ragged rows for the selection, shifting
+    local indices by each molecule's new atom start."""
+    cnt = (offsets[indices + 1] - offsets[indices]).astype(np.int64)
+    if cnt.sum() == 0:
+        return np.zeros((0,) + values.shape[1:], np.int64)
+    rows = np.concatenate(
+        [np.arange(offsets[i], offsets[i + 1]) for i, c in zip(indices, cnt) if c]
+    )
+    shift = np.repeat(starts, cnt)
+    out = values[rows].astype(np.int64)
+    return out + (shift[:, None] if out.ndim == 2 else shift)
+
+
+def build_binned_batch(
+    cache: ColumnarCache,
+    indices: np.ndarray,
+    targets: np.ndarray,
+    *,
+    ab: int = 256,
+    mb_cap: int = 48,
+    edge_slots: int,
+    tet_slots: int,
+    pair_slots: int,
+    pins: Optional[dict] = None,
+    scratch: Optional[dict] = None,
+) -> MolBatch:
+    """Device-ready binned MolBatch for ``indices`` (native fast path).
+
+    ``scratch`` (a caller-owned dict) recycles the big output buffers
+    across calls — the C side resets them with sequential stores instead of
+    numpy re-faulting ~100 MB of fresh pages (~25 ms/batch).  The returned
+    batch ALIASES the scratch arrays: only safe when each batch is copied
+    off-host (jax.device_put to a real device) before the same scratch
+    entry is reused — loaders rotate two scratch sets and enable this on
+    TPU only.
+    """
+    lib = load_library()
+    assert lib is not None, "native library with aimnet_bin_plan required"
+    idx = np.ascontiguousarray(np.asarray(indices, np.int32))
+    n = idx.shape[0]
+
+    bin_of = np.zeros(n, np.int32)
+    local_of = np.zeros(n, np.int32)
+    start_of = np.zeros(n, np.int64)
+    nbins = np.zeros(1, np.int32)
+    mb_eff = np.zeros(1, np.int32)
+    rc = lib.aimnet_bin_plan(
+        _p(cache.mol_atom_off, ctypes.c_int64), _p(idx, ctypes.c_int32),
+        n, ab, mb_cap,
+        _p(bin_of, ctypes.c_int32), _p(local_of, ctypes.c_int32),
+        _p(start_of, ctypes.c_int64),
+        _p(nbins, ctypes.c_int32), _p(mb_eff, ctypes.c_int32),
+    )
+    if rc != 0:
+        raise BinningError(f"a molecule exceeds bin size {ab}")
+
+    nbins_p = bucket_size(int(nbins[0]), align=8)
+    mb = bucket_size(int(mb_eff[0]), align=8)
+    if pins is not None:
+        nbins_p = max(nbins_p, pins.get("bins", 0))
+        pins["bins"] = nbins_p
+        mb = max(mb, pins.get("mb", 0))
+        pins["mb"] = mb
+    A2 = nbins_p * ab
+    B2 = nbins_p * mb
+
+    key = (A2, B2, edge_slots, nbins_p, ab, mb)
+    if scratch is not None and scratch.get("key") == key:
+        (o_at, o_hc, o_dg, o_hy, o_am, o_mask, o_es, o_ed, o_eh, o_em,
+         adj, pool) = scratch["bufs"]
+        clear = 1
+    else:
+        o_at = np.zeros(A2, np.int32)
+        o_hc = np.zeros(A2, np.int32)
+        o_dg = np.zeros(A2, np.int32)
+        o_hy = np.zeros(A2, np.int32)
+        o_am = np.full(A2, B2, np.int32)
+        o_mask = np.zeros(A2, np.uint8)
+        o_es = np.zeros(edge_slots, np.int32)
+        o_ed = np.full(edge_slots, A2, np.int32)
+        o_eh = np.zeros(edge_slots, np.int32)
+        o_em = np.zeros(edge_slots, np.uint8)
+        adj = np.zeros((nbins_p, ab, ab), np.int8)
+        pool = np.zeros((nbins_p, mb, ab), np.int8)
+        clear = 0
+        if scratch is not None:
+            scratch["key"] = key
+            scratch["bufs"] = (
+                o_at, o_hc, o_dg, o_hy, o_am, o_mask, o_es, o_ed, o_eh, o_em,
+                adj, pool,
+            )
+
+    total_e = int(
+        (cache.mol_edge_off[idx + 1] - cache.mol_edge_off[idx]).sum()
+    )
+    if total_e > edge_slots:
+        raise ValueError(f"edge_slots={edge_slots} < total edges {total_e}")
+
+    E = lib.aimnet_bin_fill(
+        _p(cache.atom_type, ctypes.c_int32), _p(cache.hydrogen_count, ctypes.c_int32),
+        _p(cache.degree, ctypes.c_int32), _p(cache.hybridization, ctypes.c_int32),
+        _p(cache.mol_atom_off, ctypes.c_int64),
+        _p(cache.edge_dst, ctypes.c_int32), _p(cache.edge_src, ctypes.c_int32),
+        _p(cache.edge_hop, ctypes.c_int32), _p(cache.mol_edge_off, ctypes.c_int64),
+        _p(idx, ctypes.c_int32), n,
+        _p(bin_of, ctypes.c_int32), _p(local_of, ctypes.c_int32),
+        _p(start_of, ctypes.c_int64),
+        nbins_p, ab, mb,
+        _p(o_at, ctypes.c_int32), _p(o_hc, ctypes.c_int32),
+        _p(o_dg, ctypes.c_int32), _p(o_hy, ctypes.c_int32),
+        _p(o_am, ctypes.c_int32), _p(o_mask, ctypes.c_uint8),
+        _p(o_es, ctypes.c_int32), _p(o_ed, ctypes.c_int32),
+        _p(o_eh, ctypes.c_int32), _p(o_em, ctypes.c_uint8),
+        _p(adj, ctypes.c_int8), _p(pool, ctypes.c_int8),
+        edge_slots, clear,
+    )
+    if E < 0:
+        raise BinningError("edge multiplicity exceeds int8")
+
+    # --- graph-level (vectorized numpy) ---
+    mol_slot = bin_of.astype(np.int64) * mb + local_of
+    t = np.asarray(targets, np.float32)
+    if t.ndim == 1:
+        t = t[:, None]
+    tgt = np.zeros((B2, t.shape[1]), np.float32)
+    tgt[mol_slot] = t
+    charge = np.zeros(B2, np.float32)
+    charge[mol_slot] = cache.total_charge[idx]
+    gmask = np.zeros(B2, bool)
+    gmask[mol_slot] = True
+
+    # --- stereochemistry (small; vectorized numpy) ---
+    tet = _gather_ragged(cache.tet, cache.mol_tet_off, idx, start_of)
+    tet_nbrs = np.full((tet_slots, 4), A2, np.int32)
+    tet_mask = np.zeros(tet_slots, bool)
+    tet_nbrs[: tet.shape[0]] = tet
+    tet_mask[: tet.shape[0]] = True
+
+    def _pairs(values, offsets):
+        arr = _gather_ragged(values, offsets, idx, start_of)
+        if arr.shape[0]:  # Q7: collate appends reversed copies again
+            arr = np.concatenate([arr, arr[:, ::-1]])
+        out = np.full((pair_slots, 2), A2, np.int32)
+        msk = np.zeros(pair_slots, bool)
+        out[: arr.shape[0]] = arr
+        msk[: arr.shape[0]] = True
+        return out, msk
+
+    cis_pairs, cis_mask = _pairs(cache.cis, cache.mol_cis_off)
+    trans_pairs, trans_mask = _pairs(cache.trans, cache.mol_trans_off)
+
+    return MolBatch(
+        atom_type=o_at,
+        hydrogen_count=o_hc,
+        degree=o_dg,
+        hybridization=o_hy,
+        atom_mol=o_am,
+        atom_mask=o_mask.astype(bool),
+        edge_src=o_es,
+        edge_dst=o_ed,
+        edge_hop=o_eh,
+        edge_mask=o_em.astype(bool),
+        total_charge=charge,
+        targets=tgt,
+        graph_mask=gmask,
+        tet_nbrs=tet_nbrs,
+        tet_mask=tet_mask,
+        cis_pairs=cis_pairs,
+        cis_mask=cis_mask,
+        trans_pairs=trans_pairs,
+        trans_mask=trans_mask,
+        edges_dst_sorted=True,
+        bin_adj=adj,
+        pool_mat=pool,
+    )
