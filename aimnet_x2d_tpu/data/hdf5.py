@@ -614,6 +614,47 @@ class HDF5MoleculeDataset:
             )
         return feats, targets
 
+    def read_block_cache(self, start: int, end: int):
+        """Contiguous block read into a ColumnarCache (data/native_batch.py)
+        — the HDF5 columnar schema maps 1:1 (per-molecule local indices,
+        hop-major edge order), so no MolFeatures objects are materialized:
+        the native binned builder consumes the slices directly."""
+        from .native_batch import ColumnarCache
+
+        f = self.file
+        off = self.offsets()
+        ao, eo = off["atoms"], off["edges"]
+        to, co, ro = off["tet"], off["cis"], off["trans"]
+        a0, a1 = ao[start], ao[end]
+        e0, e1 = eo[start], eo[end]
+
+        def _local(o):
+            return np.ascontiguousarray((o[start : end + 1] - o[start]).astype(np.int64))
+
+        def _i32(x):
+            return np.ascontiguousarray(np.asarray(x, np.int32))
+
+        cache = ColumnarCache(
+            atom_type=_i32(f["atoms/atom_type"][a0:a1]),
+            hydrogen_count=_i32(f["atoms/hydrogen_count"][a0:a1]),
+            degree=_i32(f["atoms/degree"][a0:a1]),
+            hybridization=_i32(f["atoms/hybridization"][a0:a1]),
+            mol_atom_off=_local(ao),
+            edge_dst=_i32(f["edges/dst"][e0:e1]),
+            edge_src=_i32(f["edges/src"][e0:e1]),
+            edge_hop=_i32(f["edges/hop"][e0:e1]),
+            mol_edge_off=_local(eo),
+            tet=_i32(f["stereo/tet"][to[start] : to[end]]).reshape(-1, 4),
+            mol_tet_off=_local(to),
+            cis=_i32(f["stereo/cis"][co[start] : co[end]]).reshape(-1, 2),
+            mol_cis_off=_local(co),
+            trans=_i32(f["stereo/trans"][ro[start] : ro[end]]).reshape(-1, 2),
+            mol_trans_off=_local(ro),
+            total_charge=np.asarray(f["graphs/total_charge"][start:end], np.float32),
+        )
+        targets = np.asarray(f["graphs/targets"][start:end], np.float32)
+        return cache, targets
+
     def get_features(self, i: int) -> MolFeatures:
         f = self.file
         off = self.offsets()
@@ -812,6 +853,12 @@ class HDF5BatchLoader:
         return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *shards)
 
     def __iter__(self) -> Iterator[MolBatch]:
+        if self.binned:
+            from .native_batch import load_library
+
+            if load_library() is not None:
+                yield from self._iter_native()
+                return
         group = self.batch_size * max(1, self.stack_devices)
         buf: list = []
         for item in self._mol_stream():
@@ -821,3 +868,85 @@ class HDF5BatchLoader:
                 buf = []
         if buf and not self.drop_last:
             yield self._emit(buf)
+
+    # -------------------- native binned fast path -------------------- #
+
+    def _iter_native(self) -> Iterator[MolBatch]:
+        """Block reads straight into ColumnarCaches consumed by the native
+        binned builder — no MolFeatures objects on the hot path.  Blocks
+        are whole multiples of the batch group, so shuffle semantics match
+        `_mol_stream` (block order + within-block permutation)."""
+        import jax
+
+        from .binning import grow_bins
+        from .native_batch import build_binned_batch
+
+        n = len(self.ds)
+        per_host = math.ceil(n / self.num_hosts)
+        h0 = self.host_id * per_host
+        h1 = min(h0 + per_host, n)
+        group = self.batch_size * max(1, self.stack_devices)
+        block = max(self.block_batches * group, 1)
+        starts = list(range(h0, h1, block))
+        rng = (
+            np.random.default_rng(self.seed + self._epoch) if self.shuffle else None
+        )
+        if rng is not None:
+            rng.shuffle(starts)
+        if not hasattr(self, "_scratches"):
+            self._scratches = (
+                [{} for _ in range(2 * max(1, self.stack_devices))]
+                if jax.default_backend() == "tpu"
+                else None
+            )
+            self._scratch_i = 0
+
+        def _scratch():
+            if self._scratches is None:
+                return None
+            s = self._scratches[self._scratch_i]
+            self._scratch_i = (self._scratch_i + 1) % len(self._scratches)
+            return s
+
+        def _build(cache, targets, idx):
+            return build_binned_batch(
+                cache,
+                idx,
+                targets[idx],
+                ab=self.bin_ab,
+                mb_cap=self.bin_mb,
+                edge_slots=self.edge_slots,
+                tet_slots=self.tet_slots,
+                pair_slots=self.pair_slots,
+                pins=self._bin_pins,
+                scratch=_scratch(),
+            )
+
+        def _emit_native(cache, targets, idx):
+            if not self.stack_devices:
+                return _build(cache, targets, idx)
+            shards = [
+                _build(cache, targets, idx[d * self.batch_size : (d + 1) * self.batch_size])
+                for d in range(self.stack_devices)
+            ]
+            tb = self._bin_pins.get("bins", 0)
+            tm = self._bin_pins.get("mb", 0)
+            shards = [
+                s
+                if s.bin_adj.shape[0] == tb and s.pool_mat.shape[1] == tm
+                else grow_bins(s, tb, tm)
+                for s in shards
+            ]
+            return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *shards)
+
+        for s in starts:
+            e = min(s + block, h1)
+            cache, targets = self.ds.read_block_cache(s, e)
+            order = np.arange(e - s)
+            if rng is not None:
+                rng.shuffle(order)
+            for lo in range(0, e - s, group):
+                idx = order[lo : lo + group]
+                if idx.shape[0] < group and self.drop_last:
+                    continue
+                yield _emit_native(cache, targets, idx)

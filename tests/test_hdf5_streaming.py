@@ -158,3 +158,31 @@ def test_block_loader_epoch_coverage_and_shuffle(tmp_path, mem_ds):
     )
     assert not np.allclose(t0, t1)  # different epoch order
     h5.close()
+
+
+def test_native_binned_loader_matches_flat(tmp_path, mem_ds):
+    """The native binned HDF5 path (read_block_cache → C builder) must
+    visit the same molecules in the same epoch order as the flat loader
+    and attach consistent dense layouts."""
+    pytest.importorskip("aimnet_x2d_tpu.data.native_batch")
+    from aimnet_x2d_tpu.data.native_batch import load_library
+
+    if load_library() is None:
+        pytest.skip("native batch builder not built")
+
+    path = str(tmp_path / "nb.h5")
+    write_hdf5_streaming(path, mem_ds.smiles, mem_ds.targets, 3)
+    h5 = HDF5MoleculeDataset(path)
+
+    flat = HDF5BatchLoader(h5, batch_size=8, shuffle=True, seed=5, binned=False)
+    binned = HDF5BatchLoader(h5, batch_size=8, shuffle=True, seed=5, binned=True)
+    flat.set_epoch(2)
+    binned.set_epoch(2)
+    fb, bb = list(flat), list(binned)
+    for a, b in zip(fb, bb):
+        assert b.bin_adj is not None and b.pool_mat is not None
+        ta = np.asarray(a.targets)[np.asarray(a.graph_mask)]
+        tb = np.asarray(b.targets)[np.asarray(b.graph_mask)]
+        np.testing.assert_allclose(ta, tb, rtol=1e-6)
+        assert int(np.asarray(b.bin_adj).sum()) == int(np.asarray(a.edge_mask).sum())
+    h5.close()
