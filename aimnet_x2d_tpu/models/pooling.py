@@ -90,14 +90,19 @@ def binned_attention_pool(x, attn, pool_mat):
     """Weighted per-molecule sums for every head, then head average.
 
     x: (A, D) float; attn: (H, A) softmax weights; → (bins·mb, D).
+
+    The head average commutes with the (head-independent) membership sum:
+    mean_h Σ_a ohf·w_h·x = Σ_a ohf·(mean_h w_h)·x — so the weights are
+    averaged over heads FIRST, cutting the pool matmul's FLOPs by H× and
+    skipping the (bins, ab, H, D) intermediate entirely (exact up to fp
+    reassociation).
     """
     nb, mb, ab = pool_mat.shape
-    H = attn.shape[0]
     ohf = pool_mat.astype(jnp.float32)
     xb = x.reshape(nb, ab, -1).astype(jnp.float32)
-    w = attn.T.reshape(nb, ab, H)
-    pooled = jnp.einsum("bma,bah,bad->bmhd", ohf, w, xb)
-    return pooled.mean(axis=2).reshape(nb * mb, -1)
+    wbar = attn.mean(axis=0).reshape(nb, ab)  # (bins, ab)
+    pooled = jnp.einsum("bma,bad->bmd", ohf, xb * wbar[..., None])
+    return pooled.reshape(nb * mb, -1)
 
 
 def mean_pool(x, atom_mol, atom_mask, num_graphs, graph_axis=None):
@@ -214,11 +219,12 @@ class MultiHeadAttentionPooling(nn.Module):
             denom = jax.lax.psum(denom, self.graph_axis)
             attn = expd / jnp.maximum(denom[:, seg_ids], 1e-16)
 
-        weighted = x[None, :, :] * attn[:, :, None]  # (H, A, D)
-        pooled = jax.vmap(lambda w: segment_sum(w, seg_ids, num_graphs))(weighted)
+        # head average commutes with the segment sum (see binned_attention_pool):
+        # one (A, D) weighted scatter instead of H of them
+        weighted = x * attn.mean(axis=0)[:, None]  # (A, D)
+        pooled = segment_sum(weighted, seg_ids, num_graphs)
         if self.graph_axis is not None:
             pooled = jax.lax.psum(pooled, self.graph_axis)
-        pooled = pooled.mean(axis=0)  # (B, D)
 
         if self.dropout_prob > 0:
             pooled = nn.Dropout(self.dropout_prob)(pooled, deterministic=deterministic)
