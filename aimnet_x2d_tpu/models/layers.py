@@ -204,6 +204,34 @@ class ShellConvolutionLayer(nn.Module):
             # identically zero, so only the first 2D rows of the kernels see
             # data — compute just those rows.
             if bin_adj is not None and self.graph_axis is None:
+                from ..ops.bin_mp import binned_mp_layer, megakernel_enabled
+
+                mk_mode = megakernel_enabled()
+                if mk_mode is not None and (self.dropout == 0.0 or deterministic):
+                    # Whole-layer Pallas megakernel (ops/bin_mp.py): the
+                    # bin's features stay in VMEM through aggregation →
+                    # projections → MLP blocks, removing the ~0.2-0.3 ms
+                    # HBM round-trip per intermediate that dominates the
+                    # unfused step (BASELINE.md round 2 profile).  Param
+                    # tree is identical (LinearParams mirrors Linear).
+                    mlp_ws = []
+                    for i in range(self.num_mlp_layers):
+                        k1, bb1 = LinearParams(D, D, name=f"mlp_{i}_linear_1")()
+                        k2, bb2 = LinearParams(D, D, name=f"mlp_{i}_linear_2")()
+                        mlp_ws += [k1, bb1, k2, bb2]
+                    return binned_mp_layer(
+                        x,
+                        bin_adj,
+                        (
+                            w_in[:D], w_in[D : 2 * D], b_in,
+                            w_skip[:D], w_skip[D : 2 * D], b_skip,
+                            *mlp_ws,
+                        ),
+                        act=self.activation_type,
+                        num_mlp_layers=self.num_mlp_layers,
+                        compute_dtype=dt if dt is not None else jnp.float32,
+                        interpret=mk_mode == "interpret",
+                    )
                 # Bin-packed dense path (data/binning.py): molecules are
                 # whole inside ab-atom bins, so the union-of-hops
                 # aggregation is one batched MXU matmul with the int8
