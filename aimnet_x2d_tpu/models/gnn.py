@@ -228,7 +228,59 @@ class GNN(nn.Module):
             if cfg.remat
             else ShellConvolutionLayer
         )
-        for layer_idx in range(cfg.num_message_passing_layers):
+        # Fully-fused MP stack (ops/bin_mp.py::binned_mp_stack): when no
+        # per-layer charge/stereo injection runs between layers, the whole
+        # loop is ONE pallas_call — inter-layer activations and residuals
+        # never leave VMEM, and none of the per-layer kernel-boundary
+        # layout copies exist.  (Remat is moot here: the stack's VJP saves
+        # only the stack input and recomputes in VMEM.)
+        use_stack = (
+            cfg.parity_mode
+            and batch.bin_adj is not None
+            and cfg.graph_axis is None
+            and not cfg.use_partial_charges
+            and not cfg.use_stereochemistry
+            and cfg.num_message_passing_layers > 1
+            and (cfg.shell_conv_dropout == 0.0 or deterministic)
+        )
+        if use_stack:
+            from ..ops.bin_mp import binned_mp_stack, megakernel_enabled
+
+            mk_mode = megakernel_enabled()
+            use_stack = mk_mode is not None
+        if use_stack:
+            ws_layers = []
+            for layer_idx in range(cfg.num_message_passing_layers):
+                ws_layers.append(
+                    ShellConvolutionLayer(
+                        dim=cfg.x_other_dim,
+                        num_hops=cfg.num_shells,
+                        dropout=cfg.shell_conv_dropout,
+                        activation_type=cfg.activation_type,
+                        num_mlp_layers=cfg.shell_conv_num_mlp_layers,
+                        parity_mode=cfg.parity_mode,
+                        dtype=cdt,
+                        name=f"message_passing_layers_{layer_idx}",
+                    )(
+                        x_other,
+                        batch.edge_src,
+                        batch.edge_dst,
+                        batch.edge_hop,
+                        batch.edge_mask,
+                        deterministic,
+                        weights_only=True,
+                    )
+                )
+            x_other = binned_mp_stack(
+                x_other,
+                batch.bin_adj,
+                tuple(ws_layers),
+                act=cfg.activation_type,
+                num_mlp_layers=cfg.shell_conv_num_mlp_layers,
+                compute_dtype=cdt if cdt is not None else jnp.float32,
+                interpret=mk_mode == "interpret",
+            )
+        for layer_idx in range(0 if use_stack else cfg.num_message_passing_layers):
             if cfg.use_partial_charges:
                 x_other = self._charge_equilibration(batch, x_other, B, pool_axis)
             if cfg.use_stereochemistry:
@@ -270,20 +322,23 @@ class GNN(nn.Module):
         k_cs, b_cs = LinearParams(
             cfg.hidden_dim, cfg.hidden_dim, init="xavier", name="concat_self_other"
         )()
+        binned = batch.pool_mat is not None and pool_axis is None
         if cdt is not None:
-            atom_embeddings = (
-                jnp.dot(
-                    x_self.astype(cdt),
-                    k_cs[: cfg.x_self_dim].astype(cdt),
-                    preferred_element_type=jnp.float32,
-                )
-                + jnp.dot(
-                    x_other.astype(cdt),
-                    k_cs[cfg.x_self_dim :].astype(cdt),
-                    preferred_element_type=jnp.float32,
-                )
-                + b_cs
-            ).astype(jnp.float32)
+            # One fused matmul + convert: a bf16 concat plus a single dot
+            # writes the (A, hidden) result once in bf16, where the
+            # row-sliced two-dot form materializes a full fp32 partial
+            # (335 MB on the flagship batch, ~1.6 ms/step of pure HBM
+            # traffic — round-2 profile).  The binned pool path is
+            # bf16-safe (fp32 MXU accumulation inside the pooling
+            # einsums); the segment pool paths accumulate at the array
+            # dtype, so they get fp32.
+            cat = jnp.concatenate(
+                [x_self.astype(cdt), x_other.astype(cdt)], axis=-1
+            )
+            atom_embeddings = jnp.dot(
+                cat, k_cs.astype(cdt), preferred_element_type=jnp.float32
+            ).astype(cdt if binned else jnp.float32)
+            atom_embeddings = atom_embeddings + b_cs.astype(atom_embeddings.dtype)
         else:
             atom_embeddings = (
                 jnp.dot(x_self, k_cs[: cfg.x_self_dim])
@@ -293,7 +348,6 @@ class GNN(nn.Module):
 
         # 5. Pooling (reference gnn.py:249) — mol-embedding tap point
         attention_weights = None
-        binned = batch.pool_mat is not None and pool_axis is None
         if cfg.pooling_type == "attention":
             mol_embeddings, attention_weights = MultiHeadAttentionPooling(
                 num_heads=cfg.attention_num_heads,
@@ -360,7 +414,8 @@ class GNN(nn.Module):
             predictions=predictions,
             attention_weights=attention_weights,
             partial_charges=partial_charges,
-            atom_embeddings=atom_embeddings,
+            # extraction paths expect fp32; dead in the train step (DCE'd)
+            atom_embeddings=atom_embeddings.astype(jnp.float32),
             mol_embeddings=mol_embeddings,
         )
 

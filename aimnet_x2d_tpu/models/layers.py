@@ -148,6 +148,7 @@ class ShellConvolutionLayer(nn.Module):
         fused_fwd=None,  # ops/fused_edge.py layouts (TPU fast path)
         fused_bwd=None,
         bin_adj: jax.Array | None = None,  # (bins, ab, ab) int8 dense path
+        weights_only: bool = False,  # return the flat weight tuple (stack path)
     ) -> jax.Array:
         A, D = x.shape
         K = self.num_hops
@@ -172,6 +173,24 @@ class ShellConvolutionLayer(nn.Module):
             ),
             (D,),
         )
+
+        def _megakernel_weights():
+            # Flat weight tuple for ops/bin_mp.py.  LinearParams mirrors
+            # Linear's tree (names/inits/RNG path) so checkpoints are
+            # interchangeable between the fused and unfused paths.
+            mlp_ws = []
+            for i in range(self.num_mlp_layers):
+                k1, bb1 = LinearParams(D, D, name=f"mlp_{i}_linear_1")()
+                k2, bb2 = LinearParams(D, D, name=f"mlp_{i}_linear_2")()
+                mlp_ws += [k1, bb1, k2, bb2]
+            return (
+                w_in[:D], w_in[D : 2 * D], b_in,
+                w_skip[:D], w_skip[D : 2 * D], b_skip,
+                *mlp_ws,
+            )
+
+        if weights_only:
+            return _megakernel_weights()
 
         dt = self.dtype
         if halo_send_idx is not None:
@@ -214,19 +233,10 @@ class ShellConvolutionLayer(nn.Module):
                     # HBM round-trip per intermediate that dominates the
                     # unfused step (BASELINE.md round 2 profile).  Param
                     # tree is identical (LinearParams mirrors Linear).
-                    mlp_ws = []
-                    for i in range(self.num_mlp_layers):
-                        k1, bb1 = LinearParams(D, D, name=f"mlp_{i}_linear_1")()
-                        k2, bb2 = LinearParams(D, D, name=f"mlp_{i}_linear_2")()
-                        mlp_ws += [k1, bb1, k2, bb2]
                     return binned_mp_layer(
                         x,
                         bin_adj,
-                        (
-                            w_in[:D], w_in[D : 2 * D], b_in,
-                            w_skip[:D], w_skip[D : 2 * D], b_skip,
-                            *mlp_ws,
-                        ),
+                        _megakernel_weights(),
                         act=self.activation_type,
                         num_mlp_layers=self.num_mlp_layers,
                         compute_dtype=dt if dt is not None else jnp.float32,

@@ -35,21 +35,27 @@ POOLING_TYPES = ("attention", "mean", "max", "sum")
 
 
 def _binned(x, pool_mat):
+    # bf16 atom arrays stay bf16 on the MXU (the membership matrix is exact
+    # 0/1 in bf16); accumulation is forced fp32 by the einsum callers, so
+    # the only rounding is the one already present in the bf16 inputs.
     nb, mb, ab = pool_mat.shape
-    ohf = pool_mat.astype(jnp.float32)
-    xb = x.reshape(nb, ab, -1).astype(jnp.float32)
+    dt = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    ohf = pool_mat.astype(dt)
+    xb = x.reshape(nb, ab, -1).astype(dt)
     return nb, mb, ab, ohf, xb
 
 
 def binned_sum_pool(x, pool_mat):
     nb, mb, ab, ohf, xb = _binned(x, pool_mat)
-    return jnp.einsum("bma,bad->bmd", ohf, xb).reshape(nb * mb, -1)
+    return jnp.einsum(
+        "bma,bad->bmd", ohf, xb, preferred_element_type=jnp.float32
+    ).reshape(nb * mb, -1)
 
 
 def binned_mean_pool(x, pool_mat):
     nb, mb, ab, ohf, xb = _binned(x, pool_mat)
-    tot = jnp.einsum("bma,bad->bmd", ohf, xb)
-    cnt = jnp.maximum(ohf.sum(axis=2), 1.0)
+    tot = jnp.einsum("bma,bad->bmd", ohf, xb, preferred_element_type=jnp.float32)
+    cnt = jnp.maximum(pool_mat.sum(axis=2).astype(jnp.float32), 1.0)
     return (tot / cnt[..., None]).reshape(nb * mb, -1)
 
 
@@ -97,11 +103,12 @@ def binned_attention_pool(x, attn, pool_mat):
     skipping the (bins, ab, H, D) intermediate entirely (exact up to fp
     reassociation).
     """
-    nb, mb, ab = pool_mat.shape
-    ohf = pool_mat.astype(jnp.float32)
-    xb = x.reshape(nb, ab, -1).astype(jnp.float32)
-    wbar = attn.mean(axis=0).reshape(nb, ab)  # (bins, ab)
-    pooled = jnp.einsum("bma,bad->bmd", ohf, xb * wbar[..., None])
+    nb, mb, ab, ohf, xb = _binned(x, pool_mat)
+    wbar = attn.mean(axis=0).reshape(nb, ab).astype(xb.dtype)  # (bins, ab)
+    pooled = jnp.einsum(
+        "bma,bad->bmd", ohf, xb * wbar[..., None],
+        preferred_element_type=jnp.float32,
+    )
     return pooled.reshape(nb * mb, -1)
 
 
@@ -185,7 +192,10 @@ class MultiHeadAttentionPooling(nn.Module):
         kernel = jnp.concatenate([k for k, _ in heads], axis=1)  # (D, H)
         bias = jnp.concatenate([b for _, b in heads])  # (H,)
         scores = (
-            jnp.dot(x, kernel.astype(x.dtype)).astype(jnp.float32) + bias
+            jnp.dot(
+                x, kernel.astype(x.dtype), preferred_element_type=jnp.float32
+            )
+            + bias
         ).T / temperature  # (H, A)
 
         if pool_mat is not None and self.graph_axis is None:

@@ -146,26 +146,26 @@ def _dot_t2(a, w):
 
 
 def _fwd_math(x, adj, ws, act, n_blocks, dt, keep=False):
-    """One shell-conv layer for one bin.  ``ws`` is the flat weight tuple
-    (already cast to the compute dtype); returns out (+ intermediates when
-    ``keep`` for the backward recompute)."""
-    w_in0, w_in1, b_in, w_s0, w_s1, b_s = ws[:6]
+    """One shell-conv layer for one bin.  ``ws`` is the PREPPED per-layer
+    weight tuple ``(w_in (2D,D), b_in, w_s (2D,D), b_s, [w1,b1,w2,b2]…)``
+    (see ``_prep_layer``): the input/skip projections contract over the
+    concatenated ``[x ‖ agg]`` — one 2D-long contraction instead of two
+    D-long ones, which cuts the MXU lane-padding tax when D is not a
+    multiple of 128 (D=153 pads to 256; 2D=306 pads to 384, i.e. 1.5
+    tiles' work instead of 2).  fp32-accumulation reassociation is the
+    only numerics difference vs the two-dot form.  Returns out
+    (+ intermediates when ``keep`` for the backward recompute)."""
+    w_in, b_in, w_s, b_s = ws[:4]
     agg32 = jnp.dot(
         adj.astype(dt), x.astype(dt), preferred_element_type=jnp.float32
     )
-    a = agg32.astype(dt)
-    t = (
-        jnp.dot(x, w_in0, preferred_element_type=jnp.float32)
-        + jnp.dot(a, w_in1, preferred_element_type=jnp.float32)
-    ).astype(dt) + b_in
+    xa = jnp.concatenate([x, agg32.astype(dt)], axis=1)  # (ab, 2D)
+    t = jnp.dot(xa, w_in, preferred_element_type=jnp.float32).astype(dt) + b_in
     h = _act_value(act, t)
-    s = (
-        jnp.dot(x, w_s0, preferred_element_type=jnp.float32)
-        + jnp.dot(a, w_s1, preferred_element_type=jnp.float32)
-    ).astype(dt) + b_s
+    s = jnp.dot(xa, w_s, preferred_element_type=jnp.float32).astype(dt) + b_s
     hs, us, vs = [], [], []
     for i in range(n_blocks):
-        w1, b1, w2, b2 = ws[6 + 4 * i : 10 + 4 * i]
+        w1, b1, w2, b2 = ws[4 + 4 * i : 8 + 4 * i]
         u = _dot(h, w1, dt) + b1
         v = _act_value(act, u)
         if keep:
@@ -175,28 +175,27 @@ def _fwd_math(x, adj, ws, act, n_blocks, dt, keep=False):
         h = _dot(v, w2, dt) + b2 + h
     out = h + s
     if keep:
-        return out, (a, t, hs, us, vs)
+        return out, (xa, t, hs, us, vs)
     return out
 
 
-def _bwd_math(x, adj, ws, g, act, n_blocks, dt):
-    """Recompute the forward, then walk the chain backward.  Returns
-    (dx, per-weight fp32 grads in the same order as ``ws``)."""
-    _, (a, t, hs, us, vs) = _fwd_math(x, adj, ws, act, n_blocks, dt, keep=True)
-    w_in0, w_in1, _, w_s0, w_s1, _ = ws[:6]
+def _bwd_from_saved(x, adj, ws, g, saved, act, n_blocks, dt):
+    """Walk the layer chain backward from saved forward intermediates.
+    Returns (dx fp32, per-weight fp32 grads in the PREPPED order)."""
+    xa, t, hs, us, vs = saved
+    w_in, _, w_s, _ = ws[:4]
+    D = x.shape[1]
 
     g = g.astype(dt)
     # out = h_L + s  ⇒ both branches see g
-    d_ws0 = _dot_t1(x, g)
-    d_ws1 = _dot_t1(a, g)
+    d_ws = _dot_t1(xa, g)  # (2D, D) fp32
     d_bs = jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)
-    dx32 = _dot_t2(g, w_s0)
-    da32 = _dot_t2(g, w_s1)
+    dxa32 = _dot_t2(g, w_s)  # (ab, 2D) fp32
 
     dh = g
     grads_blocks = []
     for i in range(n_blocks - 1, -1, -1):
-        w1, _, w2, _ = ws[6 + 4 * i : 10 + 4 * i]
+        w1, _, w2, _ = ws[4 + 4 * i : 8 + 4 * i]
         # h_{i+1} = (act(h_i w1 + b1) w2 + b2) + h_i
         dw_out = dh  # grad at the w2-matmul output
         d_w2 = _dot_t1(vs[i], dw_out)
@@ -210,19 +209,17 @@ def _bwd_math(x, adj, ws, g, act, n_blocks, dt):
     grads_blocks.reverse()
 
     dt_in = dh * _act_grad(act, t)
-    d_win0 = _dot_t1(x, dt_in)
-    d_win1 = _dot_t1(a, dt_in)
+    d_win = _dot_t1(xa, dt_in)  # (2D, D) fp32
     d_bin = jnp.sum(dt_in.astype(jnp.float32), axis=0, keepdims=True)
-    dx32 = dx32 + _dot_t2(dt_in, w_in0)
-    da32 = da32 + _dot_t2(dt_in, w_in1)
+    dxa32 = dxa32 + _dot_t2(dt_in, w_in)
 
-    # agg = adj @ x  ⇒ dx += adjᵀ @ da
-    dx32 = dx32 + _dot_t1(adj.astype(dt), da32.astype(dt))
+    # xa = [x ‖ adj @ x]  ⇒ dx = dxa[:, :D] + adjᵀ @ dxa[:, D:]
+    dx32 = dxa32[:, :D] + _dot_t1(adj.astype(dt), dxa32[:, D:].astype(dt))
 
-    wgrads = [d_win0, d_win1, d_bin, d_ws0, d_ws1, d_bs]
+    wgrads = [d_win, d_bin, d_ws, d_bs]
     for gb in grads_blocks:
         wgrads.extend(gb)
-    return dx32.astype(x.dtype), wgrads
+    return dx32, wgrads
 
 
 # --------------------------------------------------------------------- #
@@ -244,52 +241,111 @@ def _bin_spec(ab, d2):
 
 
 @functools.lru_cache(maxsize=32)
-def _make_layer_op(act, n_blocks, dtype_name, interpret):
-    """Build the custom-VJP fused layer op for a static configuration.
+def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual):
+    """Build the custom-VJP fused op for ``n_layers`` stacked shell-conv
+    layers (static configuration).
 
-    Signature of the returned fn: ``f(x3, adj, *ws)`` with
-    x3 (nb, ab, D), adj (nb, ab, ab) int8, and ws the flat weight tuple in
-    compute dtype (fp32 master weights cast by the caller) — returns the
-    layer output (nb, ab, D) (NO input residual; the model adds it).
+    Signature of the returned fn: ``f(x3, adj, *ws)`` with x3 (nb, ab, D),
+    adj (nb, ab, ab) int8, and ws the concatenation of every layer's flat
+    weight tuple (fp32 masters; cast to the compute dtype inside the op).
+    With ``residual`` each layer applies ``x ← f(x) + x`` in-kernel
+    (reference gnn.py:302-306) so inter-layer activations never touch HBM;
+    without it (single-layer mode) the caller adds the residual.
     """
     dt = jnp.dtype(dtype_name)
-    n_w = 6 + 4 * n_blocks
+    n_w = 4 + 4 * n_blocks  # PREPPED weights per layer (in/skip kernels fused)
+    n_orig = 6 + 4 * n_blocks  # caller-facing weights per layer
+    n_tot = n_w * n_layers
+
+    def _layer_ws(rest, l):
+        return tuple(r[...] for r in rest[l * n_w : (l + 1) * n_w])
 
     def fwd_kernel(x_ref, adj_ref, *rest):
-        ws = tuple(r[...] for r in rest[:n_w])
-        out_ref = rest[n_w]
-        out_ref[0] = _fwd_math(x_ref[0], adj_ref[0], ws, act, n_blocks, dt)
+        out_ref = rest[n_tot]
+        adj = adj_ref[0]
+        x = x_ref[0]
+        for l in range(n_layers):
+            y = _fwd_math(x, adj, _layer_ws(rest, l), act, n_blocks, dt)
+            x = y + x if residual else y
+        out_ref[0] = x
 
     def bwd_kernel(x_ref, adj_ref, *rest):
-        ws = tuple(r[...] for r in rest[:n_w])
-        g_ref = rest[n_w]
-        dx_ref = rest[n_w + 1]
-        grad_refs = rest[n_w + 2 :]
-        dx, wgrads = _bwd_math(
-            x_ref[0], adj_ref[0], ws, g_ref[0], act, n_blocks, dt
-        )
-        dx_ref[0] = dx
+        g_ref = rest[n_tot]
+        dx_ref = rest[n_tot + 1]
+        grad_refs = rest[n_tot + 2 :]
+        adj = adj_ref[0]
+        # Recompute pass (stays in VMEM), keeping per-layer inputs and
+        # intermediates so the backward walk costs no extra matmuls.
+        x = x_ref[0]
+        xs, saveds = [], []
+        for l in range(n_layers):
+            y, saved = _fwd_math(
+                x, adj, _layer_ws(rest, l), act, n_blocks, dt, keep=True
+            )
+            xs.append(x)
+            saveds.append(saved)
+            x = y + x if residual else y
+        # Backward walk; the residual identity path keeps g flowing in fp32.
+        g32 = g_ref[0].astype(jnp.float32)
+        wgrads_layers = [None] * n_layers
+        for l in range(n_layers - 1, -1, -1):
+            dx32, wgrads = _bwd_from_saved(
+                xs[l], adj, _layer_ws(rest, l), g32.astype(dt), saveds[l],
+                act, n_blocks, dt,
+            )
+            g32 = dx32 + g32 if residual else dx32
+            wgrads_layers[l] = wgrads
+        dx_ref[0] = g32.astype(dx_ref.dtype)
+        flat_wgrads = [wg for lws in wgrads_layers for wg in lws]
 
         @pl.when(pl.program_id(0) == 0)
         def _():
             for r in grad_refs:
                 r[...] = jnp.zeros_like(r)
 
-        for r, wg in zip(grad_refs, wgrads):
+        for r, wg in zip(grad_refs, flat_wgrads):
             r[...] += wg
 
     def _prep(ws_f32):
-        # cast master fp32 weights to the compute dtype INSIDE the op so
-        # the VJP's cotangents stay fp32 (no bf16 round-trip on dW)
-        return tuple(
-            w.astype(dt) if w.ndim == 2 else w.astype(dt).reshape(1, -1)
-            for w in ws_f32
-        )
+        # Cast master fp32 weights to the compute dtype INSIDE the op (so
+        # the VJP's cotangents stay fp32 — no bf16 round-trip on dW) and
+        # stack each layer's (w_in0, w_in1) / (w_s0, w_s1) kernel pairs
+        # into single (2D, D) matrices for the fused [x ‖ agg] contraction.
+        out = []
+        for l in range(n_layers):
+            lw = ws_f32[l * n_orig : (l + 1) * n_orig]
+            w_in0, w_in1, b_in, w_s0, w_s1, b_s = lw[:6]
+            out.append(jnp.concatenate([w_in0, w_in1], axis=0).astype(dt))
+            out.append(b_in.astype(dt).reshape(1, -1))
+            out.append(jnp.concatenate([w_s0, w_s1], axis=0).astype(dt))
+            out.append(b_s.astype(dt).reshape(1, -1))
+            out.extend(
+                w.astype(dt) if w.ndim == 2 else w.astype(dt).reshape(1, -1)
+                for w in lw[6:]
+            )
+        return tuple(out)
+
+    def _unprep_grads(ws_f32, prepped_grads):
+        # Map PREPPED-order fp32 grads back to the caller's weight order.
+        out = []
+        for l in range(n_layers):
+            lg = prepped_grads[l * n_w : (l + 1) * n_w]
+            lw = ws_f32[l * n_orig : (l + 1) * n_orig]
+            d_win, d_bin, d_ws, d_bs = lg[:4]
+            D = lw[0].shape[1]
+            out += [d_win[:D], d_win[D:], d_bin.reshape(lw[2].shape)]
+            out += [d_ws[:D], d_ws[D:], d_bs.reshape(lw[5].shape)]
+            out += [
+                wg.reshape(orig.shape) for orig, wg in zip(lw[6:], lg[4:])
+            ]
+        return out
 
     def forward(x3, adj, *ws_f32):
         nb, ab, d = x3.shape
         ws = _prep(ws_f32)
-        flops = 2 * nb * ab * (ab * d + sum(w.size for w in ws if w.ndim == 2))
+        flops = 2 * nb * ab * (
+            n_layers * ab * d + sum(w.size for w in ws if w.ndim == 2)
+        )
         return pl.pallas_call(
             fwd_kernel,
             grid=(nb,),
@@ -301,7 +357,9 @@ def _make_layer_op(act, n_blocks, dtype_name, interpret):
             out_specs=_bin_spec(ab, d),
             out_shape=jax.ShapeDtypeStruct((nb, ab, d), x3.dtype),
             cost_estimate=pl.CostEstimate(
-                flops=flops, bytes_accessed=x3.size * 4, transcendentals=nb * ab * d
+                flops=flops,
+                bytes_accessed=x3.size * 4,
+                transcendentals=n_layers * nb * ab * d,
             ),
             interpret=interpret,
         )(x3, adj, *ws)
@@ -310,7 +368,9 @@ def _make_layer_op(act, n_blocks, dtype_name, interpret):
         nb, ab, d = x3.shape
         ws = _prep(ws_f32)
         wg_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws]
-        flops = 3 * 2 * nb * ab * (ab * d + sum(w.size for w in ws if w.ndim == 2))
+        flops = 3 * 2 * nb * ab * (
+            n_layers * ab * d + sum(w.size for w in ws if w.ndim == 2)
+        )
         outs = pl.pallas_call(
             bwd_kernel,
             grid=(nb,),
@@ -329,16 +389,13 @@ def _make_layer_op(act, n_blocks, dtype_name, interpret):
                 *wg_shapes,
             ],
             cost_estimate=pl.CostEstimate(
-                flops=flops, bytes_accessed=x3.size * 8, transcendentals=nb * ab * d
+                flops=flops,
+                bytes_accessed=x3.size * 8,
+                transcendentals=2 * n_layers * nb * ab * d,
             ),
             interpret=interpret,
         )(x3, adj, *ws, g)
-        dx = outs[0]
-        wgrads = [
-            wg.reshape(orig.shape)
-            for orig, wg in zip(ws_f32, outs[1:])
-        ]
-        return dx, wgrads
+        return outs[0], _unprep_grads(ws_f32, outs[1:])
 
     @jax.custom_vjp
     def op(x3, adj, *ws_f32):
@@ -381,7 +438,41 @@ def binned_mp_layer(
     dt = jnp.dtype(compute_dtype) if compute_dtype is not None else jnp.dtype(
         jnp.float32
     )
-    op = _make_layer_op(act, num_mlp_layers, dt.name, interpret)
+    op = _make_stack_op(act, num_mlp_layers, 1, dt.name, interpret, False)
     x3 = x.astype(dt).reshape(nb, ab, D)
     out = op(x3, bin_adj, *weights)
+    return out.reshape(A, D)
+
+
+def binned_mp_stack(
+    x,
+    bin_adj,
+    weights_layers,
+    *,
+    act: str = "silu",
+    num_mlp_layers: int = 2,
+    compute_dtype=None,
+    interpret: bool = False,
+):
+    """Fused stack of shell-convolution layers with in-kernel residuals.
+
+    Runs the model's whole message-passing loop (reference gnn.py:276-308,
+    without the optional charge/stereo pre-steps) as ONE pallas_call:
+    ``x ← layer_l(x) + x`` for every layer, all inter-layer activations
+    resident in VMEM.  ``weights_layers`` is a sequence of per-layer flat
+    weight tuples in the order ``binned_mp_layer`` documents.  Returns the
+    final x_other (A, D) — residuals already applied.
+    """
+    nb, ab, _ = bin_adj.shape
+    A, D = x.shape
+    assert A == nb * ab, (A, nb, ab)
+    dt = jnp.dtype(compute_dtype) if compute_dtype is not None else jnp.dtype(
+        jnp.float32
+    )
+    op = _make_stack_op(
+        act, num_mlp_layers, len(weights_layers), dt.name, interpret, True
+    )
+    x3 = x.astype(dt).reshape(nb, ab, D)
+    flat = tuple(w for lws in weights_layers for w in lws)
+    out = op(x3, bin_adj, *flat)
     return out.reshape(A, D)
