@@ -241,7 +241,6 @@ class GNN(nn.Module):
             and not cfg.use_partial_charges
             and not cfg.use_stereochemistry
             and cfg.num_message_passing_layers > 1
-            and (cfg.shell_conv_dropout == 0.0 or deterministic)
         )
         if use_stack:
             from ..ops.bin_mp import binned_mp_stack, megakernel_enabled
@@ -271,6 +270,14 @@ class GNN(nn.Module):
                         weights_only=True,
                     )
                 )
+            drop_rate = 0.0 if deterministic else cfg.shell_conv_dropout
+            drop_seed = None
+            if drop_rate > 0.0:
+                # per-step seed for the in-kernel hash RNG (PARITY.md:
+                # statistically equivalent to nn.Dropout, not bit-equal)
+                drop_seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), -(2**31), 2**31 - 1, jnp.int32
+                )
             x_other = binned_mp_stack(
                 x_other,
                 batch.bin_adj,
@@ -279,6 +286,8 @@ class GNN(nn.Module):
                 num_mlp_layers=cfg.shell_conv_num_mlp_layers,
                 compute_dtype=cdt if cdt is not None else jnp.float32,
                 interpret=mk_mode == "interpret",
+                dropout=drop_rate,
+                drop_seed=drop_seed,
             )
         for layer_idx in range(0 if use_stack else cfg.num_message_passing_layers):
             if cfg.use_partial_charges:

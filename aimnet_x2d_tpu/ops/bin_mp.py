@@ -140,12 +140,51 @@ def _dot_t2(a, w):
 
 
 # --------------------------------------------------------------------- #
+# In-kernel dropout: a counter-based hash (murmur3 finalizer over
+# position ⊕ (seed, bin, layer, block) tags) instead of the TPU hardware
+# PRNG — a pure function of indices, so the backward recompute regenerates
+# the exact forward masks with no stream-order coupling, and the same code
+# runs under the pallas interpreter on CPU (pltpu.prng_* has no CPU
+# lowering).  Statistical quality of the fmix32 mixer is ample for
+# dropout.  Note the mask stream necessarily differs from nn.Dropout's
+# threefry stream (PARITY.md: statistically equivalent, not bit-equal).
+# --------------------------------------------------------------------- #
+
+
+def _dropout_mask(shape, rate, seed, tag):
+    """Boolean keep-mask: True with probability 1-rate.
+
+    seed: uint32 scalar (traced); tag: static python int mixing the
+    (bin, layer, block) coordinates.
+    """
+    i = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    j = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    x = (
+        i * jnp.uint32(0x85EBCA6B)
+        ^ j * jnp.uint32(0xC2B2AE35)
+        ^ (seed + jnp.uint32(tag) * jnp.uint32(0x9E3779B9))
+    )
+    x ^= x >> jnp.uint32(16)
+    x *= jnp.uint32(0x7FEB352D)
+    x ^= x >> jnp.uint32(15)
+    x *= jnp.uint32(0x846CA68B)
+    x ^= x >> jnp.uint32(16)
+    # keep iff hash ≥ rate·2³²  (uniform over uint32)
+    return x >= jnp.uint32(min(int(rate * 2**32), 2**32 - 1))
+
+
+def _apply_dropout(v, rate, keep):
+    scale = jnp.asarray(1.0 / (1.0 - rate), v.dtype)
+    return jnp.where(keep, v * scale, jnp.asarray(0, v.dtype))
+
+
+# --------------------------------------------------------------------- #
 # Shared per-bin math (pure jnp on (ab, ·) arrays): the fwd/bwd kernel
 # bodies call these, and tests can call them directly.
 # --------------------------------------------------------------------- #
 
 
-def _fwd_math(x, adj, ws, act, n_blocks, dt, keep=False):
+def _fwd_math(x, adj, ws, act, n_blocks, dt, keep=False, drop=None):
     """One shell-conv layer for one bin.  ``ws`` is the PREPPED per-layer
     weight tuple ``(w_in (2D,D), b_in, w_s (2D,D), b_s, [w1,b1,w2,b2]…)``
     (see ``_prep_layer``): the input/skip projections contract over the
@@ -163,26 +202,33 @@ def _fwd_math(x, adj, ws, act, n_blocks, dt, keep=False):
     t = jnp.dot(xa, w_in, preferred_element_type=jnp.float32).astype(dt) + b_in
     h = _act_value(act, t)
     s = jnp.dot(xa, w_s, preferred_element_type=jnp.float32).astype(dt) + b_s
-    hs, us, vs = [], [], []
+    hs, us, vs, masks = [], [], [], []
     for i in range(n_blocks):
         w1, b1, w2, b2 = ws[4 + 4 * i : 8 + 4 * i]
         u = _dot(h, w1, dt) + b1
         v = _act_value(act, u)
+        if drop is not None:
+            # reference block order: linear → act → dropout → linear
+            rate, seed, base_tag = drop
+            m = _dropout_mask(v.shape, rate, seed, base_tag + jnp.uint32(i))
+            v = _apply_dropout(v, rate, m)
+            if keep:
+                masks.append(m)  # backward reuses instead of re-hashing
         if keep:
             hs.append(h)
             us.append(u)
-            vs.append(v)
+            vs.append(v)  # post-dropout: d_w2 contracts against this
         h = _dot(v, w2, dt) + b2 + h
     out = h + s
     if keep:
-        return out, (xa, t, hs, us, vs)
+        return out, (xa, t, hs, us, vs, masks)
     return out
 
 
-def _bwd_from_saved(x, adj, ws, g, saved, act, n_blocks, dt):
+def _bwd_from_saved(x, adj, ws, g, saved, act, n_blocks, dt, drop=None):
     """Walk the layer chain backward from saved forward intermediates.
     Returns (dx fp32, per-weight fp32 grads in the PREPPED order)."""
-    xa, t, hs, us, vs = saved
+    xa, t, hs, us, vs, masks = saved
     w_in, _, w_s, _ = ws[:4]
     D = x.shape[1]
 
@@ -201,6 +247,9 @@ def _bwd_from_saved(x, adj, ws, g, saved, act, n_blocks, dt):
         d_w2 = _dot_t1(vs[i], dw_out)
         d_b2 = jnp.sum(dw_out.astype(jnp.float32), axis=0, keepdims=True)
         dv = _dot_t2(dw_out, w2).astype(dt)
+        if drop is not None:
+            # dropout is linear: the same mask·scale maps dv̂ → dv
+            dv = _apply_dropout(dv, drop[0], masks[i])
         du = dv * _act_grad(act, us[i])
         d_w1 = _dot_t1(hs[i], du)
         d_b1 = jnp.sum(du.astype(jnp.float32), axis=0, keepdims=True)
@@ -241,7 +290,8 @@ def _bin_spec(ab, d2):
 
 
 @functools.lru_cache(maxsize=32)
-def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual):
+def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
+                   dropout=0.0):
     """Build the custom-VJP fused op for ``n_layers`` stacked shell-conv
     layers (static configuration).
 
@@ -260,16 +310,33 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual):
     def _layer_ws(rest, l):
         return tuple(r[...] for r in rest[l * n_w : (l + 1) * n_w])
 
-    def fwd_kernel(x_ref, adj_ref, *rest):
+    def _drop_ctx(seed_ref, l):
+        # per-(bin, layer) tag base; blocks offset from it (_fwd_math)
+        if dropout == 0.0:
+            return None
+        pid = jnp.uint32(pl.program_id(0))
+        base = (pid * jnp.uint32(n_layers) + jnp.uint32(l)) * jnp.uint32(n_blocks)
+        # int32 → uint32 is a value-preserving bit reinterpretation mod 2³²
+        seed = jnp.uint32(seed_ref[0])
+        return (dropout, seed, base)
+
+    def fwd_kernel(*refs):
+        seed_ref = refs[0] if dropout else None
+        x_ref, adj_ref, *rest = refs[1 if dropout else 0 :]
         out_ref = rest[n_tot]
         adj = adj_ref[0]
         x = x_ref[0]
         for l in range(n_layers):
-            y = _fwd_math(x, adj, _layer_ws(rest, l), act, n_blocks, dt)
+            y = _fwd_math(
+                x, adj, _layer_ws(rest, l), act, n_blocks, dt,
+                drop=_drop_ctx(seed_ref, l),
+            )
             x = y + x if residual else y
         out_ref[0] = x
 
-    def bwd_kernel(x_ref, adj_ref, *rest):
+    def bwd_kernel(*refs):
+        seed_ref = refs[0] if dropout else None
+        x_ref, adj_ref, *rest = refs[1 if dropout else 0 :]
         g_ref = rest[n_tot]
         dx_ref = rest[n_tot + 1]
         grad_refs = rest[n_tot + 2 :]
@@ -280,7 +347,8 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual):
         xs, saveds = [], []
         for l in range(n_layers):
             y, saved = _fwd_math(
-                x, adj, _layer_ws(rest, l), act, n_blocks, dt, keep=True
+                x, adj, _layer_ws(rest, l), act, n_blocks, dt, keep=True,
+                drop=_drop_ctx(seed_ref, l),
             )
             xs.append(x)
             saveds.append(saved)
@@ -291,7 +359,7 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual):
         for l in range(n_layers - 1, -1, -1):
             dx32, wgrads = _bwd_from_saved(
                 xs[l], adj, _layer_ws(rest, l), g32.astype(dt), saveds[l],
-                act, n_blocks, dt,
+                act, n_blocks, dt, drop=_drop_ctx(seed_ref, l),
             )
             g32 = dx32 + g32 if residual else dx32
             wgrads_layers[l] = wgrads
@@ -340,9 +408,18 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual):
             ]
         return out
 
-    def forward(x3, adj, *ws_f32):
+    def _seed_args(seed):
+        if dropout == 0.0:
+            return [], []
+        # the op-level seed arg is f32 bits (plain-zero VJP cotangent);
+        # give the kernel int32 (SMEM loads are scalar-indexed)
+        seed_i = jax.lax.bitcast_convert_type(seed, jnp.int32)
+        return [pl.BlockSpec(memory_space=pltpu.SMEM)], [seed_i]
+
+    def forward(x3, adj, seed, *ws_f32):
         nb, ab, d = x3.shape
         ws = _prep(ws_f32)
+        seed_specs, seed_vals = _seed_args(seed)
         flops = 2 * nb * ab * (
             n_layers * ab * d + sum(w.size for w in ws if w.ndim == 2)
         )
@@ -350,6 +427,7 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual):
             fwd_kernel,
             grid=(nb,),
             in_specs=[
+                *seed_specs,
                 _bin_spec(ab, d),
                 _bin_spec(ab, ab),
                 *[_const_spec(w.shape) for w in ws],
@@ -362,11 +440,12 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual):
                 transcendentals=n_layers * nb * ab * d,
             ),
             interpret=interpret,
-        )(x3, adj, *ws)
+        )(*seed_vals, x3, adj, *ws)
 
-    def backward_call(x3, adj, ws_f32, g):
+    def backward_call(x3, adj, seed, ws_f32, g):
         nb, ab, d = x3.shape
         ws = _prep(ws_f32)
+        seed_specs, seed_vals = _seed_args(seed)
         wg_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws]
         flops = 3 * 2 * nb * ab * (
             n_layers * ab * d + sum(w.size for w in ws if w.ndim == 2)
@@ -375,6 +454,7 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual):
             bwd_kernel,
             grid=(nb,),
             in_specs=[
+                *seed_specs,
                 _bin_spec(ab, d),
                 _bin_spec(ab, ab),
                 *[_const_spec(w.shape) for w in ws],
@@ -394,20 +474,23 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual):
                 transcendentals=2 * n_layers * nb * ab * d,
             ),
             interpret=interpret,
-        )(x3, adj, *ws, g)
+        )(*seed_vals, x3, adj, *ws, g)
         return outs[0], _unprep_grads(ws_f32, outs[1:])
 
+    # ``seed`` is a traced (1,) float32 holding uint32 bits (bitcast by the
+    # caller): float dtype so the custom VJP can hand back a plain zero
+    # cotangent (integer primals would need float0 bookkeeping).
     @jax.custom_vjp
-    def op(x3, adj, *ws_f32):
-        return forward(x3, adj, *ws_f32)
+    def op(x3, adj, seed, *ws_f32):
+        return forward(x3, adj, seed, *ws_f32)
 
-    def op_fwd(x3, adj, *ws_f32):
-        return forward(x3, adj, *ws_f32), (x3, adj, ws_f32)
+    def op_fwd(x3, adj, seed, *ws_f32):
+        return forward(x3, adj, seed, *ws_f32), (x3, adj, seed, ws_f32)
 
     def op_bwd(res, g):
-        x3, adj, ws_f32 = res
-        dx, wgrads = backward_call(x3, adj, ws_f32, g)
-        return (dx, None, *wgrads)
+        x3, adj, seed, ws_f32 = res
+        dx, wgrads = backward_call(x3, adj, seed, ws_f32, g)
+        return (dx, None, jnp.zeros_like(seed), *wgrads)
 
     op.defvjp(op_fwd, op_bwd)
     return op
@@ -440,7 +523,7 @@ def binned_mp_layer(
     )
     op = _make_stack_op(act, num_mlp_layers, 1, dt.name, interpret, False)
     x3 = x.astype(dt).reshape(nb, ab, D)
-    out = op(x3, bin_adj, *weights)
+    out = op(x3, bin_adj, jnp.zeros((1,), jnp.float32), *weights)
     return out.reshape(A, D)
 
 
@@ -453,6 +536,8 @@ def binned_mp_stack(
     num_mlp_layers: int = 2,
     compute_dtype=None,
     interpret: bool = False,
+    dropout: float = 0.0,
+    drop_seed=None,
 ):
     """Fused stack of shell-convolution layers with in-kernel residuals.
 
@@ -462,6 +547,11 @@ def binned_mp_stack(
     resident in VMEM.  ``weights_layers`` is a sequence of per-layer flat
     weight tuples in the order ``binned_mp_layer`` documents.  Returns the
     final x_other (A, D) — residuals already applied.
+
+    ``dropout`` applies the reference's in-block dropout (linear → act →
+    dropout → linear) via the in-kernel hash RNG; ``drop_seed`` is a (1,)
+    int32/uint32 array that must change per step (derive from the step's
+    dropout PRNG key).
     """
     nb, ab, _ = bin_adj.shape
     A, D = x.shape
@@ -470,9 +560,17 @@ def binned_mp_stack(
         jnp.float32
     )
     op = _make_stack_op(
-        act, num_mlp_layers, len(weights_layers), dt.name, interpret, True
+        act, num_mlp_layers, len(weights_layers), dt.name, interpret, True,
+        float(dropout),
     )
+    if dropout > 0.0:
+        assert drop_seed is not None, "dropout requires a per-step seed"
+        seed = jax.lax.bitcast_convert_type(
+            drop_seed.reshape(1).astype(jnp.int32), jnp.float32
+        )
+    else:
+        seed = jnp.zeros((1,), jnp.float32)
     x3 = x.astype(dt).reshape(nb, ab, D)
     flat = tuple(w for lws in weights_layers for w in lws)
-    out = op(x3, bin_adj, *flat)
+    out = op(x3, bin_adj, seed, *flat)
     return out.reshape(A, D)

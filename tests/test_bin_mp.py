@@ -141,3 +141,94 @@ def test_param_tree_identical(binned_batch):
     fg, _ = jax.flatten_util.ravel_pytree(p_got)
     assert jax.tree_util.tree_structure(p_ref) == jax.tree_util.tree_structure(p_got)
     np.testing.assert_array_equal(np.asarray(fr), np.asarray(fg))
+
+
+# --------------------------------------------------------------------- #
+# In-kernel dropout (hash-RNG): semantics verified with crafted identity
+# weights that make the mask directly observable in the output.
+# --------------------------------------------------------------------- #
+
+
+def _identity_stack(x, seed, rate, interpret=True):
+    """1-layer stack, relu, identity weights, zero adjacency:
+    out = x·mask/keep + 2x  (block chain + block residual + stack residual),
+    so mask = (out − 2x)·keep/x elementwise."""
+    from aimnet_x2d_tpu.ops.bin_mp import binned_mp_stack
+
+    nb, ab, D = 2, 16, 64
+    adj = jnp.zeros((nb, ab, ab), jnp.int8)
+    I = jnp.eye(D, dtype=jnp.float32)
+    Z = jnp.zeros((D, D), jnp.float32)
+    z = jnp.zeros((D,), jnp.float32)
+    ws = (I, Z, z, Z, Z, z, I, z, I, z)  # w_in0=I, block w1=w2=I, rest 0
+    return binned_mp_stack(
+        x.reshape(nb * ab, D),
+        adj,
+        (ws,),
+        act="relu",
+        num_mlp_layers=1,
+        compute_dtype=jnp.float32,
+        interpret=interpret,
+        dropout=rate,
+        drop_seed=seed,
+    ).reshape(nb, ab, D)
+
+
+def test_dropout_mask_semantics():
+    rate = 0.3
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0.5, 1.5, (2, 16, 64)), jnp.float32)
+    seed = jnp.array([1234], jnp.int32)
+    out = np.asarray(_identity_stack(x, seed, rate))
+    mask = (out - 2 * np.asarray(x)) * (1 - rate) / np.asarray(x)
+    # every element is exactly kept (1) or dropped (0)
+    np.testing.assert_allclose(
+        mask, np.round(mask), atol=1e-5
+    )
+    keep_rate = float(np.round(mask).mean())
+    assert abs(keep_rate - (1 - rate)) < 0.03, keep_rate
+    # reproducible for the same seed, different for another seed
+    out2 = np.asarray(_identity_stack(x, seed, rate))
+    np.testing.assert_array_equal(out, out2)
+    out3 = np.asarray(_identity_stack(x, jnp.array([99], jnp.int32), rate))
+    assert not np.array_equal(out, out3)
+
+
+def test_dropout_backward_mask_matches_forward():
+    """jax.grad through the stack must see the SAME masks the forward drew
+    (the backward kernel regenerates them from the same hash)."""
+    rate = 0.25
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(0.5, 1.5, (2, 16, 64)), jnp.float32)
+    seed = jnp.array([77], jnp.int32)
+    out = np.asarray(_identity_stack(x, seed, rate))
+    mask = np.round((out - 2 * np.asarray(x)) * (1 - rate) / np.asarray(x))
+    g = jax.grad(lambda v: jnp.sum(_identity_stack(v, seed, rate)))(x)
+    # d out / d x = mask/keep + 2 elementwise (identity chains, relu'=1)
+    np.testing.assert_allclose(
+        np.asarray(g), mask / (1 - rate) + 2.0, rtol=1e-5, atol=1e-5
+    )
+
+
+def test_dropout_model_train_mode(binned_batch):
+    """Train-mode apply with dropout engages the stacked kernel and gives
+    different outputs for different dropout rngs, identical for the same."""
+    cfg = _cfg(shell_conv_dropout=0.2)
+    model = GNN(cfg)
+    os.environ["AIMNET_MP_MEGAKERNEL"] = "interpret"
+    try:
+        params = model.init(jax.random.PRNGKey(0), binned_batch)
+
+        def run(key):
+            return model.apply(
+                params, binned_batch, deterministic=False,
+                rngs={"dropout": key},
+            ).predictions
+
+        a = np.asarray(run(jax.random.PRNGKey(1)))
+        b = np.asarray(run(jax.random.PRNGKey(1)))
+        c = np.asarray(run(jax.random.PRNGKey(2)))
+        np.testing.assert_array_equal(a, b)
+        assert not np.array_equal(a, c)
+    finally:
+        os.environ.pop("AIMNET_MP_MEGAKERNEL", None)
