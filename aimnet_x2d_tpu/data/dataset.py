@@ -71,12 +71,19 @@ def featurize_many(
 
 @dataclasses.dataclass
 class MoleculeDataset:
-    """Featurized molecules + (preprocessed) targets, ready to batch."""
+    """Featurized molecules + (preprocessed) targets, ready to batch.
+
+    With the native featurizer, ``features`` is a ``LazyFeatures`` view
+    over the dataset-wide ``columnar`` cache (built directly by ONE native
+    call, no per-molecule objects — data/native_batch.py); per-molecule
+    MolFeatures are materialized only by fallback consumers.
+    """
 
     smiles: List[str]
     targets: np.ndarray  # (N, T) float32
-    features: List[MolFeatures]
+    features: "List[MolFeatures]"  # list or LazyFeatures (sequence protocol)
     max_hops: int
+    columnar: "object | None" = None  # ColumnarCache when built natively
 
     def __len__(self) -> int:
         return len(self.features)
@@ -93,10 +100,34 @@ class MoleculeDataset:
         max_hops: int,
         num_workers: int = 0,
     ) -> "MoleculeDataset":
+        targets = np.asarray(targets, np.float32)
+        if targets.ndim == 1:
+            targets = targets[:, None]
+
+        from ..chem.native import native_available
+
+        if native_available():
+            from .native_batch import ColumnarCache, LazyFeatures
+
+            cache, keep = ColumnarCache.from_smiles(
+                list(smiles), max_hops, num_threads=max(num_workers, 1)
+            )
+            kept = [s for s, v in zip(smiles, keep) if v]
+            return cls(
+                smiles=kept,
+                targets=targets[keep],
+                features=LazyFeatures(cache, kept, max_hops),
+                max_hops=max_hops,
+                columnar=cache,
+            )
         s, t, f = featurize_many(smiles, targets, max_hops, num_workers)
         return cls(smiles=s, targets=t, features=f, max_hops=max_hops)
 
     def atomic_numbers(self) -> List[np.ndarray]:
+        if self.columnar is not None and self.columnar.atomic_numbers is not None:
+            off = self.columnar.mol_atom_off
+            an = self.columnar.atomic_numbers
+            return [an[off[i] : off[i + 1]] for i in range(len(self))]
         return [f.atomic_numbers for f in self.features]
 
     def with_targets(self, targets: np.ndarray) -> "MoleculeDataset":
@@ -143,7 +174,14 @@ class BatchLoader:
         self.stack_devices = stack_devices
         self.edge_shards = edge_shards
         self.halo_shards = halo_shards
-        mol_atoms = np.array([f.num_atoms for f in dataset.features])
+        # Per-molecule sizes from the columnar cache when present (vector
+        # diffs of the offset arrays) — materializing MolFeatures for the
+        # whole dataset defeats the lazy columnar path.
+        cache = dataset.columnar
+        if cache is not None:
+            mol_atoms = np.diff(cache.mol_atom_off)
+        else:
+            mol_atoms = np.array([f.num_atoms for f in dataset.features])
         # Bin-packed dense layout (data/binning.py): the fastest TPU path.
         # Feasible iff every molecule fits a bin; decided up-front so the
         # whole loader serves one layout (no mid-epoch shape changes).
@@ -191,19 +229,28 @@ class BatchLoader:
         self._halo_slots: dict = {}
         self._epoch = 0
 
-        atoms = np.array([f.num_atoms for f in dataset.features])
-        edges = np.array([f.num_edges for f in dataset.features])
+        if cache is not None:
+            atoms = mol_atoms
+            edges = np.diff(cache.mol_edge_off)
+            tets = np.diff(cache.mol_tet_off)
+            pairs = 2 * np.maximum(
+                np.diff(cache.mol_cis_off), np.diff(cache.mol_trans_off)
+            )
+        else:
+            atoms = np.array([f.num_atoms for f in dataset.features])
+            edges = np.array([f.num_edges for f in dataset.features])
+            tets = np.array([f.tet_nbrs.shape[0] for f in dataset.features])
+            pairs = np.array(
+                [
+                    2 * max(f.cis_pairs.shape[0], f.trans_pairs.shape[0])
+                    for f in dataset.features
+                ]
+            )
         # Static caps: batch_size molecules of p-max size, bucketed.  Using
         # the true max keeps a hard guarantee (no overflow recompiles).
         k = min(batch_size, len(atoms))
         self.atom_slots = bucket_size(int(np.sort(atoms)[-k:].sum()) if len(atoms) else 8)
         self.edge_slots = bucket_size(int(np.sort(edges)[-k:].sum()) if len(edges) else 8)
-        tets = np.array(
-            [f.tet_nbrs.shape[0] for f in dataset.features]
-        )
-        pairs = np.array(
-            [2 * max(f.cis_pairs.shape[0], f.trans_pairs.shape[0]) for f in dataset.features]
-        )
         self.tet_slots = bucket_size(int(np.sort(tets)[-k:].sum()) + 1 if len(tets) else 8)
         self.pair_slots = bucket_size(int(np.sort(pairs)[-k:].sum()) + 1 if len(pairs) else 8)
 
@@ -227,13 +274,17 @@ class BatchLoader:
         self._epoch = epoch
 
     def _native_cache(self):
-        """Lazy columnar cache for the native binned builder (None when the
-        native library lacks the batch-builder entry points)."""
+        """Columnar cache for the native binned builder: the dataset's own
+        cache when it was built natively, else a one-time build from the
+        MolFeatures list (None when the native library lacks the
+        batch-builder entry points)."""
         if not hasattr(self, "_columnar"):
             from .native_batch import ColumnarCache, load_library
 
             if load_library() is None or not len(self.dataset.features):
                 self._columnar = None
+            elif self.dataset.columnar is not None:
+                self._columnar = self.dataset.columnar
             else:
                 self._columnar = ColumnarCache.from_features(
                     self.dataset.features, self.dataset.max_hops

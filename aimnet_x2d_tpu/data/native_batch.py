@@ -92,6 +92,86 @@ class ColumnarCache:
     trans: np.ndarray
     mol_trans_off: np.ndarray
     total_charge: np.ndarray  # (B,) float32
+    # (ΣN,) int32 — optional (SAE preprocessing reads per-molecule slices)
+    atomic_numbers: Optional[np.ndarray] = None
+
+    @staticmethod
+    def from_smiles(
+        smiles: Sequence[str], num_hops: int, num_threads: int = 0
+    ) -> "tuple[ColumnarCache, np.ndarray]":
+        """Featurize straight into the columnar layout: ONE native call,
+        no per-molecule MolFeatures objects (the slice→re-concat round
+        trip costs more than the featurization itself at scale — round-2
+        measurement: 3.5k mol/s end-to-end vs 19.6k raw native).  Returns
+        (cache over the VALID molecules, (B,) bool keep mask).
+
+        The native batch buffers are already columnar with per-molecule
+        offsets, hop-major edges (dst first) and empty ranges for invalid
+        SMILES, so the build is offset compaction + column copies.
+        """
+        import os
+
+        from ..chem.native import load_library as load_featurizer
+
+        lib = load_featurizer()
+        assert lib is not None, "native featurizer required"
+        if num_threads <= 0:
+            num_threads = os.cpu_count() or 1
+        n = len(smiles)
+        arr = (ctypes.c_char_p * n)(*[s.encode("utf-8") for s in smiles])
+        h = lib.aimnet_featurize_batch(arr, n, num_hops, num_threads)
+
+        def _np(fn, count, dtype):
+            ptr = fn(h)
+            if count == 0 or not ptr:
+                return np.zeros(count, dtype)
+            return np.ctypeslib.as_array(ptr, shape=(count,)).copy()
+
+        try:
+            valid = _np(lib.aimnet_batch_valid, n, np.uint8).astype(bool)
+            a_off = _np(lib.aimnet_batch_atom_offsets, n + 1, np.int64)
+            ta = int(a_off[-1])
+            afeat = _np(lib.aimnet_batch_atom_features, ta * 4, np.int32).reshape(-1, 4)
+            anum = _np(lib.aimnet_batch_atomic_numbers, ta, np.int32)
+            e_off = _np(lib.aimnet_batch_edge_offsets, n + 1, np.int64)
+            te = int(e_off[-1])
+            edst = _np(lib.aimnet_batch_edge_dst, te, np.int32)
+            esrc = _np(lib.aimnet_batch_edge_src, te, np.int32)
+            ehop = _np(lib.aimnet_batch_edge_hop, te, np.int8).astype(np.int32)
+            t_off = _np(lib.aimnet_batch_tet_offsets, n + 1, np.int64)
+            tet = _np(lib.aimnet_batch_tet, int(t_off[-1]) * 4, np.int32).reshape(-1, 4)
+            c_off = _np(lib.aimnet_batch_cis_offsets, n + 1, np.int64)
+            cis = _np(lib.aimnet_batch_cis, int(c_off[-1]) * 2, np.int32).reshape(-1, 2)
+            r_off = _np(lib.aimnet_batch_trans_offsets, n + 1, np.int64)
+            trans = _np(lib.aimnet_batch_trans, int(r_off[-1]) * 2, np.int32).reshape(-1, 2)
+            charge = _np(lib.aimnet_batch_total_charge, n, np.int32)
+        finally:
+            lib.aimnet_batch_free(h)
+
+        def _compact(off):
+            counts = off[1:] - off[:-1]
+            return np.concatenate([[0], np.cumsum(counts[valid])]).astype(np.int64)
+
+        cache = ColumnarCache(
+            atom_type=np.ascontiguousarray(afeat[:, 0]),
+            hydrogen_count=np.ascontiguousarray(afeat[:, 1]),
+            degree=np.ascontiguousarray(afeat[:, 2]),
+            hybridization=np.ascontiguousarray(afeat[:, 3]),
+            mol_atom_off=_compact(a_off),
+            edge_dst=edst,
+            edge_src=esrc,
+            edge_hop=ehop,
+            mol_edge_off=_compact(e_off),
+            tet=tet,
+            mol_tet_off=_compact(t_off),
+            cis=cis,
+            mol_cis_off=_compact(c_off),
+            trans=trans,
+            mol_trans_off=_compact(r_off),
+            total_charge=charge[valid].astype(np.float32),
+            atomic_numbers=anum,
+        )
+        return cache, valid
 
     @staticmethod
     def from_features(feats: Sequence[MolFeatures], num_hops: int) -> "ColumnarCache":
@@ -154,6 +234,65 @@ class ColumnarCache:
             trans=_cat(transs, (0, 2)).reshape(-1, 2),
             mol_trans_off=r_off,
             total_charge=np.array([m.total_charge for m in feats], np.float32),
+            atomic_numbers=(
+                np.concatenate([m.atomic_numbers for m in feats]).astype(np.int32)
+                if feats
+                else np.zeros(0, np.int32)
+            ),
+        )
+
+
+class LazyFeatures:
+    """List-like MolFeatures view over a ColumnarCache.
+
+    The hot paths (native binned builder, SAE atomic numbers, loader slot
+    sizing) read the cache arrays directly; only fallback per-molecule
+    consumers (python collate, HDF5 writer) materialize MolFeatures, one
+    molecule at a time."""
+
+    def __init__(self, cache: ColumnarCache, smiles: Sequence[str], num_hops: int):
+        self.cache = cache
+        self.smiles = smiles
+        self.num_hops = num_hops
+
+    def __len__(self) -> int:
+        return len(self.cache.mol_atom_off) - 1
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+    def __getitem__(self, i: int) -> MolFeatures:
+        c = self.cache
+        a0, a1 = c.mol_atom_off[i], c.mol_atom_off[i + 1]
+        e0, e1 = c.mol_edge_off[i], c.mol_edge_off[i + 1]
+        hop = c.edge_hop[e0:e1]  # hop-major within the molecule
+        bounds = np.searchsorted(hop, np.arange(1, self.num_hops + 2))
+        hops = [
+            np.stack(
+                [
+                    c.edge_dst[e0 + bounds[k] : e0 + bounds[k + 1]],
+                    c.edge_src[e0 + bounds[k] : e0 + bounds[k + 1]],
+                ]
+            )
+            for k in range(self.num_hops)
+        ]
+        return MolFeatures(
+            edge_hops=hops,
+            atom_type=c.atom_type[a0:a1],
+            hydrogen_count=c.hydrogen_count[a0:a1],
+            degree=c.degree[a0:a1],
+            hybridization=c.hybridization[a0:a1],
+            tet_nbrs=c.tet[c.mol_tet_off[i] : c.mol_tet_off[i + 1]],
+            cis_pairs=c.cis[c.mol_cis_off[i] : c.mol_cis_off[i + 1]],
+            trans_pairs=c.trans[c.mol_trans_off[i] : c.mol_trans_off[i + 1]],
+            total_charge=float(c.total_charge[i]),
+            atomic_numbers=(
+                c.atomic_numbers[a0:a1]
+                if c.atomic_numbers is not None
+                else c.atom_type[a0:a1]
+            ),
+            smiles=self.smiles[i] if i < len(self.smiles) else "",
         )
 
 

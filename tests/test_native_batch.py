@@ -119,3 +119,78 @@ def test_loader_uses_native_path():
         # pin growth order, which both loaders share from scratch
         assert np.array_equal(a.bin_adj.shape, b.bin_adj.shape)
         _assert_equal(b, a)
+
+
+# --------------------------------------------------------------------- #
+# Direct columnar featurization (ColumnarCache.from_smiles): one native
+# call, no MolFeatures round trip.  The sliced path is the spec.
+# --------------------------------------------------------------------- #
+
+SMILES = [
+    "CCO", "c1ccccc1O", "CC(=O)Nc1ccc(O)cc1", "C[C@H](N)C(=O)O",
+    "F/C=C/F", "F/C=C\\F", "not_a_smiles", "C1CC1", "[NH4+].[Cl-]",
+    "O=C(O)c1ccccc1", "N#Cc1ccccc1",
+]
+
+
+def test_columnar_from_smiles_matches_sliced_path():
+    from aimnet_x2d_tpu.chem.native import compute_features_batch
+
+    feats = compute_features_batch(SMILES, 3)
+    keep = [f for f in feats if f is not None]
+    ref = ColumnarCache.from_features(keep, 3)
+    got, valid = ColumnarCache.from_smiles(SMILES, 3)
+    assert list(valid) == [f is not None for f in feats]
+    for f in dataclasses.fields(ColumnarCache):
+        a, b = getattr(ref, f.name), getattr(got, f.name)
+        assert np.array_equal(np.asarray(a), np.asarray(b)), f.name
+
+
+def test_lazy_features_materialize_equal():
+    from aimnet_x2d_tpu.chem.native import compute_features_batch
+    from aimnet_x2d_tpu.data.native_batch import LazyFeatures
+
+    feats = compute_features_batch(SMILES, 3)
+    keep_s = [s for s, f in zip(SMILES, feats) if f is not None]
+    keep = [f for f in feats if f is not None]
+    cache, _ = ColumnarCache.from_smiles(SMILES, 3)
+    lazy = LazyFeatures(cache, keep_s, 3)
+    assert len(lazy) == len(keep)
+    for ref, got in zip(keep, lazy):
+        assert len(ref.edge_hops) == len(got.edge_hops)
+        for a, b in zip(ref.edge_hops, got.edge_hops):
+            assert np.array_equal(a, b)
+        for name in ("atom_type", "hydrogen_count", "degree", "hybridization",
+                     "tet_nbrs", "cis_pairs", "trans_pairs", "atomic_numbers"):
+            assert np.array_equal(getattr(ref, name), getattr(got, name)), name
+        assert ref.total_charge == got.total_charge
+        assert ref.smiles == got.smiles
+
+
+def test_dataset_from_smiles_columnar_batches_equal(monkeypatch):
+    """End to end: a natively-built (columnar) dataset must serve byte-equal
+    batches to the AIMNET_NO_NATIVE python dataset."""
+    import os
+
+    from aimnet_x2d_tpu.data.dataset import BatchLoader, MoleculeDataset
+
+    targets = np.arange(len(SMILES), dtype=np.float32)[:, None]
+    ds_nat = MoleculeDataset.from_smiles(SMILES, targets, 3)
+    assert ds_nat.columnar is not None
+    monkeypatch.setenv("AIMNET_NO_NATIVE", "1")
+    import aimnet_x2d_tpu.chem.native as cn
+
+    monkeypatch.setattr(cn, "_LIB", None, raising=False)
+    monkeypatch.setattr(cn, "_TRIED", False, raising=False)
+    ds_py = MoleculeDataset.from_smiles(SMILES, targets, 3)
+    assert ds_py.columnar is None  # really took the python path
+    monkeypatch.delenv("AIMNET_NO_NATIVE")
+    assert ds_nat.smiles == ds_py.smiles
+    np.testing.assert_array_equal(ds_nat.targets, ds_py.targets)
+    for an, ap in zip(ds_nat.atomic_numbers(), ds_py.atomic_numbers()):
+        assert np.array_equal(an, ap)
+    ba = list(BatchLoader(ds_nat, 4, binned=False, fused_edges=False))
+    bb = list(BatchLoader(ds_py, 4, binned=False, fused_edges=False))
+    assert len(ba) == len(bb)
+    for x, y in zip(ba, bb):
+        _assert_equal(x, y)
