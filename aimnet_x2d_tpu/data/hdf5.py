@@ -56,37 +56,87 @@ def write_hdf5(
     target_columns: Optional[Sequence[str]] = None,
     preprocessing_state: Optional[dict] = None,
 ) -> None:
-    feats = dataset.features
-    n = len(feats)
-    atom_counts = np.array([f.num_atoms for f in feats], np.int64)
-    atom_off = np.concatenate([[0], np.cumsum(atom_counts)])
+    cache = dataset.columnar
+    if cache is not None:
+        # natively-built dataset: the HDF5 schema IS the columnar cache —
+        # write the arrays directly (no per-molecule materialization)
+        n = len(dataset)
+        atom_off = cache.mol_atom_off
+        atom_counts = np.diff(atom_off)
+        edge_off = cache.mol_edge_off
+        edge_counts = np.diff(edge_off)
+        tet_off, cis_off, trans_off = (
+            cache.mol_tet_off, cache.mol_cis_off, cache.mol_trans_off,
+        )
+        tet_counts = np.diff(tet_off)
+        cis_counts = np.diff(cis_off)
+        trans_counts = np.diff(trans_off)
 
-    def _cat_atoms(key, dtype):
-        return np.concatenate([getattr(f, key) for f in feats]).astype(dtype)
+        def _cat_atoms(key, dtype):
+            if key == "atomic_numbers":
+                return cache.atomic_numbers.astype(dtype)
+            return getattr(cache, key).astype(dtype)
 
-    dsts, srcs, hops, edge_counts = [], [], [], []
-    for f in feats:
-        d_parts, s_parts, h_parts = [], [], []
-        for h, e in enumerate(f.edge_hops):
-            if e.shape[1]:
-                d_parts.append(e[0])
-                s_parts.append(e[1])
-                h_parts.append(np.full(e.shape[1], h + 1, np.int8))
-        if d_parts:
-            dsts.append(np.concatenate(d_parts))
-            srcs.append(np.concatenate(s_parts))
-            hops.append(np.concatenate(h_parts))
-            edge_counts.append(len(dsts[-1]))
-        else:
-            edge_counts.append(0)
-    edge_off = np.concatenate([[0], np.cumsum(edge_counts)]).astype(np.int64)
+        cat_dst = cache.edge_dst.astype(np.int32)
+        cat_src = cache.edge_src.astype(np.int32)
+        cat_hop = cache.edge_hop.astype(np.int8)
+        cat_tet, cat_cis, cat_trans = cache.tet, cache.cis, cache.trans
+        total_charges = cache.total_charge
+    else:
+        feats = dataset.features
+        n = len(feats)
+        atom_counts = np.array([f.num_atoms for f in feats], np.int64)
+        atom_off = np.concatenate([[0], np.cumsum(atom_counts)])
 
-    tet_counts = [f.tet_nbrs.shape[0] for f in feats]
-    tet_off = np.concatenate([[0], np.cumsum(tet_counts)]).astype(np.int64)
-    cis_counts = [f.cis_pairs.shape[0] for f in feats]
-    cis_off = np.concatenate([[0], np.cumsum(cis_counts)]).astype(np.int64)
-    trans_counts = [f.trans_pairs.shape[0] for f in feats]
-    trans_off = np.concatenate([[0], np.cumsum(trans_counts)]).astype(np.int64)
+        def _cat_atoms(key, dtype):
+            return np.concatenate([getattr(f, key) for f in feats]).astype(dtype)
+
+        dsts, srcs, hops, edge_counts = [], [], [], []
+        for f in feats:
+            d_parts, s_parts, h_parts = [], [], []
+            for h, e in enumerate(f.edge_hops):
+                if e.shape[1]:
+                    d_parts.append(e[0])
+                    s_parts.append(e[1])
+                    h_parts.append(np.full(e.shape[1], h + 1, np.int8))
+            if d_parts:
+                dsts.append(np.concatenate(d_parts))
+                srcs.append(np.concatenate(s_parts))
+                hops.append(np.concatenate(h_parts))
+                edge_counts.append(len(dsts[-1]))
+            else:
+                edge_counts.append(0)
+        edge_off = np.concatenate([[0], np.cumsum(edge_counts)]).astype(np.int64)
+
+        tet_counts = [f.tet_nbrs.shape[0] for f in feats]
+        tet_off = np.concatenate([[0], np.cumsum(tet_counts)]).astype(np.int64)
+        cis_counts = [f.cis_pairs.shape[0] for f in feats]
+        cis_off = np.concatenate([[0], np.cumsum(cis_counts)]).astype(np.int64)
+        trans_counts = [f.trans_pairs.shape[0] for f in feats]
+        trans_off = np.concatenate([[0], np.cumsum(trans_counts)]).astype(np.int64)
+        cat_dst = (
+            np.concatenate(dsts).astype(np.int32) if dsts else np.zeros(0, np.int32)
+        )
+        cat_src = (
+            np.concatenate(srcs).astype(np.int32) if srcs else np.zeros(0, np.int32)
+        )
+        cat_hop = np.concatenate(hops) if hops else np.zeros(0, np.int8)
+        cat_tet = (
+            np.concatenate([f_.tet_nbrs for f_ in feats]).astype(np.int32)
+            if sum(tet_counts)
+            else np.zeros((0, 4), np.int32)
+        )
+        cat_cis = (
+            np.concatenate([f_.cis_pairs for f_ in feats]).astype(np.int32)
+            if sum(cis_counts)
+            else np.zeros((0, 2), np.int32)
+        )
+        cat_trans = (
+            np.concatenate([f_.trans_pairs for f_ in feats]).astype(np.int32)
+            if sum(trans_counts)
+            else np.zeros((0, 2), np.int32)
+        )
+        total_charges = np.array([f_.total_charge for f_ in feats], np.float32)
 
     with h5py.File(path, "w") as f:
         g = f.create_group("atoms")
@@ -103,45 +153,21 @@ def write_hdf5(
 
         g = f.create_group("edges")
         g.create_dataset("offsets", data=edge_off)
-        g.create_dataset(
-            "dst", data=np.concatenate(dsts).astype(np.int32) if dsts else np.zeros(0, np.int32), **opts
-        )
-        g.create_dataset(
-            "src", data=np.concatenate(srcs).astype(np.int32) if srcs else np.zeros(0, np.int32), **opts
-        )
-        g.create_dataset(
-            "hop", data=np.concatenate(hops) if hops else np.zeros(0, np.int8), **opts
-        )
+        g.create_dataset("dst", data=cat_dst, **opts)
+        g.create_dataset("src", data=cat_src, **opts)
+        g.create_dataset("hop", data=cat_hop, **opts)
 
         g = f.create_group("stereo")
         g.create_dataset("tet_offsets", data=tet_off)
-        g.create_dataset(
-            "tet",
-            data=np.concatenate([f_.tet_nbrs for f_ in feats]).astype(np.int32)
-            if sum(tet_counts)
-            else np.zeros((0, 4), np.int32),
-        )
+        g.create_dataset("tet", data=cat_tet.astype(np.int32).reshape(-1, 4))
         g.create_dataset("cis_offsets", data=cis_off)
-        g.create_dataset(
-            "cis",
-            data=np.concatenate([f_.cis_pairs for f_ in feats]).astype(np.int32)
-            if sum(cis_counts)
-            else np.zeros((0, 2), np.int32),
-        )
+        g.create_dataset("cis", data=cat_cis.astype(np.int32).reshape(-1, 2))
         g.create_dataset("trans_offsets", data=trans_off)
-        g.create_dataset(
-            "trans",
-            data=np.concatenate([f_.trans_pairs for f_ in feats]).astype(np.int32)
-            if sum(trans_counts)
-            else np.zeros((0, 2), np.int32),
-        )
+        g.create_dataset("trans", data=cat_trans.astype(np.int32).reshape(-1, 2))
 
         g = f.create_group("graphs")
         g.create_dataset("targets", data=dataset.targets, **opts)
-        g.create_dataset(
-            "total_charge",
-            data=np.array([f_.total_charge for f_ in feats], np.float32),
-        )
+        g.create_dataset("total_charge", data=total_charges)
         g.create_dataset(
             "smiles",
             data=np.array(dataset.smiles, dtype=h5py.special_dtype(vlen=str)),
