@@ -332,30 +332,55 @@ class GNN(nn.Module):
             cfg.hidden_dim, cfg.hidden_dim, init="xavier", name="concat_self_other"
         )()
         binned = batch.pool_mat is not None and pool_axis is None
+        xo = x_other.astype(x_self.dtype)
+        # atom-embedding tap: the concat is never materialized — each part
+        # hits its kernel row-block (exact column arithmetic).  Dead in the
+        # train step (pooling commutes past the projection below), so XLA
+        # DCEs the whole (A, hidden) computation there.
+        xs_dim = cfg.x_self_dim
         if cdt is not None:
-            # One fused matmul + convert: a bf16 concat plus a single dot
-            # writes the (A, hidden) result once in bf16, where the
-            # row-sliced two-dot form materializes a full fp32 partial
-            # (335 MB on the flagship batch, ~1.6 ms/step of pure HBM
-            # traffic — round-2 profile).  The binned pool path is
-            # bf16-safe (fp32 MXU accumulation inside the pooling
-            # einsums); the segment pool paths accumulate at the array
-            # dtype, so they get fp32.
-            cat = jnp.concatenate(
-                [x_self.astype(cdt), x_other.astype(cdt)], axis=-1
-            )
-            atom_embeddings = jnp.dot(
-                cat, k_cs.astype(cdt), preferred_element_type=jnp.float32
-            ).astype(cdt if binned else jnp.float32)
-            atom_embeddings = atom_embeddings + b_cs.astype(atom_embeddings.dtype)
+            atom_embeddings = (
+                jnp.dot(
+                    x_self, k_cs[:xs_dim].astype(cdt),
+                    preferred_element_type=jnp.float32,
+                )
+                + jnp.dot(
+                    xo, k_cs[xs_dim:].astype(cdt),
+                    preferred_element_type=jnp.float32,
+                )
+            ).astype(cdt) + b_cs.astype(cdt)
         else:
             atom_embeddings = (
-                jnp.dot(x_self, k_cs[: cfg.x_self_dim])
-                + jnp.dot(x_other.astype(x_self.dtype), k_cs[cfg.x_self_dim :])
-                + b_cs
-            ).astype(jnp.float32)
+                jnp.dot(x_self, k_cs[:xs_dim]) + jnp.dot(xo, k_cs[xs_dim:]) + b_cs
+            )
 
-        # 5. Pooling (reference gnn.py:249) — mol-embedding tap point
+        # 5. Pooling (reference gnn.py:249) — mol-embedding tap point.
+        # Attention/mean/sum pooling are LINEAR in the atom embeddings, so
+        # the pool commutes past the concat_self_other projection:
+        # pool(x·K + b) = pool(x)·K + b·Σw per molecule, and pooling is
+        # columnwise so each concat part pools independently.  Pooling
+        # FIRST shrinks the A-sized hidden² matmul to a B-sized one (~27%
+        # of the step's matmul FLOPs) and no (A, hidden) array exists in
+        # the pooled path at all.  Reassociation is the only numerics
+        # change (oracle full-forward parity covers it).  Max pooling is
+        # not linear and halo pooling psums per-molecule partials — both
+        # keep the post-projection path.
+        linear_pool = pool_axis is None and cfg.pooling_type in (
+            "attention", "mean", "sum"
+        )
+
+        def _pool_then_project(pooled_parts, bias_factor):
+            mol = b_cs * bias_factor.astype(jnp.float32)[:, None]
+            row = 0
+            for pp in pooled_parts:  # (B, d_p) each — tiny matmuls
+                mol = mol + jnp.dot(
+                    pp.astype(x_self.dtype),
+                    k_cs[row : row + pp.shape[-1]].astype(x_self.dtype),
+                    preferred_element_type=jnp.float32,
+                )
+                row += pp.shape[-1]
+            return mol
+
         attention_weights = None
         if cfg.pooling_type == "attention":
             mol_embeddings, attention_weights = MultiHeadAttentionPooling(
@@ -364,21 +389,40 @@ class GNN(nn.Module):
                 graph_axis=pool_axis,
                 name="pooling",
             )(
-                atom_embeddings,
+                [x_self, xo] if linear_pool else atom_embeddings,
                 batch.atom_mol,
                 batch.atom_mask,
                 B,
                 deterministic=deterministic,
                 pool_mat=batch.pool_mat if binned else None,
+                pre_proj=(k_cs, b_cs) if linear_pool else None,
             )
         elif cfg.pooling_type == "mean":
-            mol_embeddings = (
-                binned_mean_pool(atom_embeddings, batch.pool_mat)
-                if binned
-                else mean_pool(
+            if linear_pool:
+                if binned:
+                    # lane-aligned full-width einsum (see pooling.py note)
+                    pooled = [
+                        binned_mean_pool(
+                            jnp.concatenate([x_self, xo], axis=-1), batch.pool_mat
+                        )
+                    ]
+                    cov = (batch.pool_mat.sum(axis=2) > 0).reshape(-1)
+                else:
+                    # segment pools accumulate at the array dtype — promote
+                    # bf16 parts to fp32 like the post-projection path did
+                    pooled = [
+                        mean_pool(
+                            p.astype(jnp.float32), batch.atom_mol, batch.atom_mask, B
+                        )
+                        for p in (x_self, xo)
+                    ]
+                    seg = jnp.where(batch.atom_mask, batch.atom_mol, B)
+                    cov = segment_sum(batch.atom_mask.astype(jnp.float32), seg, B) > 0
+                mol_embeddings = _pool_then_project(pooled, cov)
+            else:
+                mol_embeddings = mean_pool(
                     atom_embeddings, batch.atom_mol, batch.atom_mask, B, pool_axis
                 )
-            )
         elif cfg.pooling_type == "max":
             mol_embeddings = (
                 binned_max_pool(atom_embeddings, batch.pool_mat)
@@ -388,13 +432,28 @@ class GNN(nn.Module):
                 )
             )
         elif cfg.pooling_type == "sum":
-            mol_embeddings = (
-                binned_sum_pool(atom_embeddings, batch.pool_mat)
-                if binned
-                else sum_pool(
+            if linear_pool:
+                if binned:
+                    pooled = [
+                        binned_sum_pool(
+                            jnp.concatenate([x_self, xo], axis=-1), batch.pool_mat
+                        )
+                    ]
+                    counts = batch.pool_mat.sum(axis=2).reshape(-1)
+                else:
+                    pooled = [
+                        sum_pool(
+                            p.astype(jnp.float32), batch.atom_mol, batch.atom_mask, B
+                        )
+                        for p in (x_self, xo)
+                    ]
+                    seg = jnp.where(batch.atom_mask, batch.atom_mol, B)
+                    counts = segment_sum(batch.atom_mask.astype(jnp.float32), seg, B)
+                mol_embeddings = _pool_then_project(pooled, counts)
+            else:
+                mol_embeddings = sum_pool(
                     atom_embeddings, batch.atom_mol, batch.atom_mask, B, pool_axis
                 )
-            )
         else:
             raise ValueError(f"Unsupported pooling type: {cfg.pooling_type}")
 

@@ -92,6 +92,17 @@ def binned_attention_softmax(scores, pool_mat):
     return w.reshape(nb * ab, H).T
 
 
+def binned_attention_coverage(attn, pool_mat):
+    """Σ_a membership·w̄_a per molecule — the factor the pooled bias picks
+    up when pooling commutes past a linear projection (≈1 for covered
+    molecules, exactly 0 for empty slots)."""
+    nb, mb, ab = pool_mat.shape
+    wbar = attn.mean(axis=0).reshape(nb, ab)
+    return jnp.einsum(
+        "bma,ba->bm", pool_mat.astype(jnp.float32), wbar.astype(jnp.float32)
+    ).reshape(nb * mb)
+
+
 def binned_attention_pool(x, attn, pool_mat):
     """Weighted per-molecule sums for every head, then head average.
 
@@ -179,29 +190,98 @@ class MultiHeadAttentionPooling(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x, atom_mol, atom_mask, num_graphs, *, deterministic=True, pool_mat=None
+        self, x, atom_mol, atom_mask, num_graphs, *, deterministic=True,
+        pool_mat=None, pre_proj=None,
     ):
+        """With ``pre_proj=(k_cs, b_cs)``, ``x`` is the PRE-projection atom
+        array — given as the LIST of concat parts [x_self, x_other] so the
+        concat itself is never materialized — and pooling commutes past the
+        linear concat_self_other projection (reference gnn.py:245-249):
+
+            pool(x·K + b) = pool(x)·K + b·Σw          (exactly, per molecule)
+
+        Scores use the folded (D, H) kernel K·K_heads (row-split per part)
+        and pooling runs per part (it is columnwise), so NO (A, hidden)
+        array exists anywhere in the pooled path: the A-sized
+        hidden×hidden matmul (~27% of the train step's matmul FLOPs)
+        shrinks to a B-sized one.  Reassociation is the only numerics
+        difference (oracle parity tests cover it)."""
         temperature = self.param(
             "temperature",
             lambda key: jnp.asarray(self.initial_temperature, jnp.float32),
         )
+        parts = list(x) if isinstance(x, (list, tuple)) else [x]
+        D = parts[0].shape[-1] if pre_proj is None else pre_proj[0].shape[1]
         heads = [
-            _HeadParams(x.shape[-1], name=f"attention_weights_{i}")()
+            _HeadParams(D, name=f"attention_weights_{i}")()
             for i in range(self.num_heads)
         ]
         kernel = jnp.concatenate([k for k, _ in heads], axis=1)  # (D, H)
         bias = jnp.concatenate([b for _, b in heads])  # (H,)
-        scores = (
-            jnp.dot(
-                x, kernel.astype(x.dtype), preferred_element_type=jnp.float32
+        if pre_proj is not None:
+            k_cs, b_cs = pre_proj
+            score_k = jnp.dot(k_cs, kernel)  # (in, H) fp32 fold
+            score_b = jnp.dot(b_cs, kernel) + bias
+        else:
+            score_k, score_b = kernel, bias
+        scores32 = score_b
+        row = 0
+        for p in parts:
+            blk = score_k[row : row + p.shape[-1]]
+            scores32 = scores32 + jnp.dot(
+                p, blk.astype(p.dtype), preferred_element_type=jnp.float32
             )
-            + bias
-        ).T / temperature  # (H, A)
+            row += p.shape[-1]
+        scores = scores32.T / temperature  # (H, A)
+
+        def _project(pooled_parts, cov):
+            if pre_proj is None:
+                return pooled_parts[0]
+            k_cs, b_cs = pre_proj
+            dt = parts[0].dtype
+            mol = b_cs * cov[:, None]
+            row = 0
+            for pp in pooled_parts:  # (B, d_p) each — tiny matmuls
+                mol = mol + jnp.dot(
+                    pp.astype(dt),
+                    k_cs[row : row + pp.shape[-1]].astype(dt),
+                    preferred_element_type=jnp.float32,
+                )
+                row += pp.shape[-1]
+            return mol
 
         if pool_mat is not None and self.graph_axis is None:
-            # bin-packed dense path (no scatters; see module comment)
+            if pre_proj is not None and self.dropout_prob == 0 and len(parts) == 2:
+                from ..ops.bin_pool import (
+                    binned_attention_pool_fused,
+                    pool_kernel_enabled,
+                )
+
+                mode = pool_kernel_enabled()
+                if mode is not None:
+                    # Fused Pallas pool (ops/bin_pool.py): scores → masked
+                    # softmax → weighted pooled parts in one kernel, atom
+                    # arrays read once.  Temperature folded into the score
+                    # kernel (differentiable jnp fold).
+                    ps, po, cov, attn = binned_attention_pool_fused(
+                        parts[0],
+                        parts[1],
+                        pool_mat,
+                        score_k / temperature,
+                        score_b / temperature,
+                        interpret=mode == "interpret",
+                    )
+                    return _project([ps, po], cov), attn
+            # bin-packed dense path (no scatters; see module comment).
+            # Ragged part widths (359/153) make XLA transpose-pad the pool
+            # einsum (~1.8 ms of layout copies at 8192 mols) — concatenate
+            # to the lane-aligned full width and pool once instead.
             attn = binned_attention_softmax(scores, pool_mat)
-            pooled = binned_attention_pool(x, attn, pool_mat)
+            xc = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+            pooled = _project(
+                [binned_attention_pool(xc, attn, pool_mat)],
+                binned_attention_coverage(attn, pool_mat) if pre_proj else None,
+            )
             if self.dropout_prob > 0:
                 pooled = nn.Dropout(self.dropout_prob)(
                     pooled, deterministic=deterministic
@@ -231,10 +311,24 @@ class MultiHeadAttentionPooling(nn.Module):
 
         # head average commutes with the segment sum (see binned_attention_pool):
         # one (A, D) weighted scatter instead of H of them
-        weighted = x * attn.mean(axis=0)[:, None]  # (A, D)
-        pooled = segment_sum(weighted, seg_ids, num_graphs)
-        if self.graph_axis is not None:
-            pooled = jax.lax.psum(pooled, self.graph_axis)
+        wbar = attn.mean(axis=0)
+        if pre_proj is not None:
+            # segment sums accumulate at the array dtype; keep fp32 like
+            # the post-projection path did
+            parts = [p.astype(jnp.float32) for p in parts]
+        pooled_parts = []
+        for p in parts:
+            weighted = p * wbar.astype(p.dtype)[:, None]  # (A, d_p)
+            pooled = segment_sum(weighted, seg_ids, num_graphs)
+            if self.graph_axis is not None:
+                pooled = jax.lax.psum(pooled, self.graph_axis)
+            pooled_parts.append(pooled)
+        cov = None
+        if pre_proj is not None:
+            cov = segment_sum(wbar, seg_ids, num_graphs)
+            if self.graph_axis is not None:
+                cov = jax.lax.psum(cov, self.graph_axis)
+        pooled = _project(pooled_parts, cov)
 
         if self.dropout_prob > 0:
             pooled = nn.Dropout(self.dropout_prob)(pooled, deterministic=deterministic)
