@@ -264,11 +264,56 @@ class BatchLoader:
             slots[name] = merged
             setattr(self, name, merged)
         if self.binned:
-            merged = max(slots.get("bins", 0), self._bin_pins.get("bins", 0))
-            if merged:
-                slots["bins"] = merged
-                self._bin_pins["bins"] = merged
+            # both bin-grid dimensions must carry across loaders, or every
+            # chunk's (nb, mb) drift retriggers a (minutes-long on the
+            # remote runtime) recompile
+            for name in ("bins", "mb"):
+                merged = max(slots.get(name, 0), self._bin_pins.get(name, 0))
+                if merged:
+                    slots[name] = merged
+                    self._bin_pins[name] = merged
         return slots
+
+    def warm_bin_pins(self) -> None:
+        """Pre-plan every batch's bin grid and seed the pins to the
+        loader-wide max BEFORE the first batch is built.
+
+        Without this a streaming caller hits a pin growth — a full remote
+        recompile, minutes on the axon runtime — whenever a later batch
+        needs more bins / molecule-slots than the first.  For a
+        deterministic (shuffle=False) loader the greedy plan here is the
+        SAME plan batch construction runs, so the seed is exact: the first
+        compile is the only compile.  (Shuffled loaders would only be exact
+        for epoch 0; call sites are the inference/eval paths.)"""
+        if not self.binned:
+            return
+        from .binning import plan_bins
+
+        cache = self.dataset.columnar
+        if cache is not None:
+            sizes_all = np.diff(cache.mol_atom_off)
+        else:
+            sizes_all = np.array(
+                [f.num_atoms for f in self.dataset.features], np.int64
+            )
+        bins = self._bin_pins.get("bins", 0)
+        mb = self._bin_pins.get("mb", 0)
+        per = self.batch_size
+        for idx in self._batch_indices():
+            # stacked loaders bin each device shard independently
+            subs = (
+                [idx[d * per : (d + 1) * per] for d in range(self.stack_devices)]
+                if self.stack_devices
+                else [idx]
+            )
+            for sub in subs:
+                _, local, _, nb = plan_bins(sizes_all[sub], self.bin_ab, self.bin_mb)
+                bins = max(bins, bucket_size(nb, align=8))
+                mb = max(
+                    mb, bucket_size(int(local.max()) + 1 if local.size else 1, align=8)
+                )
+        self._bin_pins["bins"] = bins
+        self._bin_pins["mb"] = mb
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch

@@ -146,6 +146,9 @@ class StreamingInferencePipeline:
 
     def _predict_dataset(self, ds: MoleculeDataset) -> Dict[str, np.ndarray]:
         loader = BatchLoader(ds, self.batch_size, fixed_shape=True)
+        # exact worst-batch bin grid for this chunk, BEFORE the first batch
+        # compiles — mid-chunk pin growth costs a full remote recompile
+        loader.warm_bin_pins()
         loader.pin_slots(self._slots)
         num_tasks = len(self.target_columns)
         if self.mode == "mc_dropout":
@@ -195,6 +198,46 @@ class StreamingInferencePipeline:
             n = sum(1 for _ in fh)
         return max(n - 1, 0)  # minus header
 
+    def _featurize_ahead(self, chunks, depth: int = 2):
+        """Background-thread featurization: build chunk N+1's dataset while
+        the device predicts chunk N.  The native featurizer releases the
+        GIL (C++ thread pool), so one Python thread overlaps fully; without
+        this the loop serializes host featurization (the throughput
+        bottleneck) with device prediction."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=depth)
+        sentinel = object()
+        errors: list = []
+
+        def worker():
+            try:
+                for smiles, ds in chunks:
+                    if ds is None:
+                        ds = MoleculeDataset.from_smiles(
+                            smiles,
+                            np.zeros((len(smiles), 1), np.float32),
+                            self.max_hops,
+                            self.num_workers,
+                        )
+                    q.put((smiles, ds))
+            except BaseException as e:  # surface in the consumer thread
+                errors.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+        if errors:
+            raise errors[0]
+
     def _run_chunks(self, chunks, output_path: str, embeddings_path: Optional[str]):
         """Shared prediction loop: iterate (smiles, MoleculeDataset|None)
         chunks, append predictions to ``output_path`` and embeddings to the
@@ -207,15 +250,8 @@ class StreamingInferencePipeline:
                 embeddings_path, include_atoms=self.include_atom_embeddings
             )
         try:
-            for smiles, ds in chunks:
+            for smiles, ds in self._featurize_ahead(chunks):
                 n_total += len(smiles)
-                if ds is None:
-                    ds = MoleculeDataset.from_smiles(
-                        smiles,
-                        np.zeros((len(smiles), 1), np.float32),
-                        self.max_hops,
-                        self.num_workers,
-                    )
                 if len(ds) == 0:
                     continue
                 n_valid += len(ds)

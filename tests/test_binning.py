@@ -174,3 +174,28 @@ def test_mol_cap_closes_bin():
     bin_of, local, start, nbins = plan_bins(sizes, ab=64, mb=8)
     assert nbins == 5
     assert local.max() == 7
+
+
+def test_warm_bin_pins_exact():
+    """warm_bin_pins seeds the loader-wide worst bin grid up front: no pin
+    growth (i.e. no recompile) can occur while iterating a deterministic
+    loader, and every batch shares one static (bins, mb) shape."""
+    from aimnet_x2d_tpu.data.dataset import BatchLoader, MoleculeDataset
+    from aimnet_x2d_tpu.data.synthetic import make_synthetic_mol
+
+    rng = np.random.default_rng(7)
+    sizes = np.clip(rng.poisson(16, 200), 4, 40)
+    mols = [make_synthetic_mol(rng, int(s), 3) for s in sizes]
+    ds = MoleculeDataset(
+        features=mols,
+        targets=rng.normal(size=(200, 2)).astype(np.float32),
+        smiles=[""] * 200,
+        max_hops=3,
+    )
+    loader = BatchLoader(ds, batch_size=32, binned=True)
+    loader.warm_bin_pins()
+    seeded = dict(loader._bin_pins)
+    shapes = {(b.bin_adj.shape[0], b.pool_mat.shape[1]) for b in loader}
+    assert loader._bin_pins == seeded
+    assert len(shapes) == 1
+    assert shapes.pop() == (seeded["bins"], seeded["mb"])
