@@ -152,8 +152,9 @@ def postprocess_arguments(args: argparse.Namespace) -> argparse.Namespace:
         args.ffn_hidden_dim = args.hidden_dim
     if args.precompute_num_workers is None:
         args.precompute_num_workers = args.num_workers
-    if args.stream_batch_size is None:
-        args.stream_batch_size = args.batch_size
+    # stream_batch_size=None survives parsing: the inference engine picks a
+    # backend-appropriate default at runtime (large batches keep the TPU
+    # fed; the training batch size is the right CPU default)
     # inference-mode autodetect
     args.is_inference = args.inference_csv is not None or args.inference_hdf5 is not None
     if args.is_inference and args.inference_mode is None:

@@ -15,12 +15,26 @@ from .pipeline import StreamingInferencePipeline
 
 
 def inference_main(args: argparse.Namespace) -> Dict[str, Any]:
+    batch = args.stream_batch_size
+    chunk = args.stream_chunk_size
+    if batch is None:
+        import jax
+
+        if jax.default_backend() == "tpu":
+            # measured on QM9/v5e: 64→669 mol/s, 2048→2379 mol/s steady
+            # state — big batches amortize per-dispatch latency and fill
+            # the binned MXU layout; chunks hold a few batches so the
+            # featurize-ahead thread stays ahead of the device
+            batch = 2048
+            chunk = max(chunk, 4 * batch)
+        else:
+            batch = args.batch_size
     pipeline = StreamingInferencePipeline(
         artifact_path=args.model_save_path,
         inference_mode=args.inference_mode or "deterministic",
         mc_samples=args.mc_samples,
-        chunk_size=args.stream_chunk_size,
-        batch_size=args.stream_batch_size,
+        chunk_size=chunk,
+        batch_size=batch,
         num_workers=args.num_workers,
         save_embeddings=args.save_embeddings,
         embeddings_output_path=args.embeddings_output_path,
