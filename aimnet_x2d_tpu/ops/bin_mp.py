@@ -20,19 +20,35 @@ src/models/layers.py:63-167 under quirk Q1 union-of-hops collapse) for one
 so the only HBM traffic per layer is x in, adj in, weights (resident), and
 out — all intermediates live and die in VMEM.
 
+Transposed (feature-major) layout
+---------------------------------
+In-kernel activations are held FEATURE-MAJOR: xT (D, ab) instead of
+(ab, D).  The MXU pads lane (minor) dimensions to 128 and sublane
+dimensions only to the 8/16-row tile, so with the reference's
+D = int(0.3·512) = 153 the row-major form pays 153→256 lane padding on
+every D-column matmul (a D×D block matmul does 2.8× its real FLOPs).
+Feature-major puts D on sublanes (153→160, 4%) and the 256-atom bin on
+lanes (exact), cutting the stack's padded matmul volume ~1.6×.  Weights
+are pre-transposed OUTSIDE the kernel (free, XLA folds it into the
+weight-cast), and the (nb, ab, D) ↔ (nb, D, ab) activation transposes at
+the kernel boundary are two cheap HBM-bandwidth XLA transposes — measured
+~19% end-to-end step-time win at the flagship config.
+
 The backward pass is a custom VJP whose kernel RECOMPUTES the forward
 per-bin (rematerialization is free here: the recompute stays in VMEM) and
 accumulates weight gradients across the sequential TPU grid into
 constant-index output blocks (fp32).  Gradients match XLA autodiff of the
 unfused path to bf16 tolerance (same bf16 rounding points, fp32 matmul
-accumulation everywhere).
+accumulation everywhere).  Saving intermediates to HBM instead would move
+~5 GB/step at the flagship shape — the recompute is cheaper.
 
 Numerics notes
 - bf16 mode reproduces the unfused path's cast points exactly: fp32 MXU
   accumulation → bf16 cast → bf16 bias add (models/layers.py ``Linear`` /
   ``_proj``).
-- Dropout is NOT supported in-kernel; callers fall back to the unfused
-  binned path when ``dropout > 0`` and not deterministic.
+- Dropout runs in-kernel via a counter-based hash RNG keyed on GLOBAL
+  (feature, atom) coordinates — fwd and bwd regenerate identical masks
+  even at different bins-per-grid-step groupings.
 """
 
 from __future__ import annotations
@@ -105,11 +121,15 @@ def _act_grad(name, u):
         s = _sigmoid(u)
         return s * (one + u * (one - s))
     if name == "relu":
-        return (u > 0).astype(u.dtype)
+        # compare in fp32: Mosaic's bf16 predicate lowering is unsupported
+        # on this target ("Target does not support this comparison")
+        return (u.astype(jnp.float32) > 0).astype(u.dtype)
     if name == "leakyrelu":
-        return jnp.where(u >= 0, one, jnp.asarray(0.01, u.dtype))
+        return jnp.where(
+            u.astype(jnp.float32) >= 0, one, jnp.asarray(0.01, u.dtype)
+        )
     if name == "elu":
-        return jnp.where(u > 0, one, jnp.exp(u))
+        return jnp.where(u.astype(jnp.float32) > 0, one, jnp.exp(u))
     if name == "gelu":
         inv_sqrt2 = jnp.asarray(0.7071067811865476, u.dtype)
         cdf = jnp.asarray(0.5, u.dtype) * (one + jax.lax.erf(u * inv_sqrt2))
@@ -125,17 +145,17 @@ def _dot(a, b, out_dtype):
     return jnp.dot(a, b, preferred_element_type=jnp.float32).astype(out_dtype)
 
 
-def _dot_t1(a, b):
-    """aᵀ @ b contracting dim 0 of both — fp32 out (weight gradients)."""
+def _dot_c00(a, b):
+    """Contract dim 0 of both operands (lhs-transposed matmul) — fp32."""
     return jax.lax.dot_general(
         a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
 
 
-def _dot_t2(a, w):
-    """a @ wᵀ contracting dim 1 of both (input gradients)."""
+def _dot_c11(a, b):
+    """Contract dim 1 of both operands (rhs-transposed matmul) — fp32."""
     return jax.lax.dot_general(
-        a, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
 
 
@@ -151,14 +171,17 @@ def _dot_t2(a, w):
 # --------------------------------------------------------------------- #
 
 
-def _dropout_mask(shape, rate, seed, tag):
+def _dropout_mask(shape, rate, seed, tag, lane_off):
     """Boolean keep-mask: True with probability 1-rate.
 
-    seed: uint32 scalar (traced); tag: static python int mixing the
-    (bin, layer, block) coordinates.
+    seed: uint32 scalar (traced); tag: (layer, block) mix; lane_off: the
+    grid step's GLOBAL lane offset (traced) — masks are a pure function of
+    (feature row, global atom column), so the forward and backward kernels
+    regenerate identical masks even when they pack a different number of
+    bins per grid step.
     """
     i = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
-    j = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    j = jax.lax.broadcasted_iota(jnp.uint32, shape, 1) + lane_off
     x = (
         i * jnp.uint32(0x85EBCA6B)
         ^ j * jnp.uint32(0xC2B2AE35)
@@ -179,38 +202,73 @@ def _apply_dropout(v, rate, keep):
 
 
 # --------------------------------------------------------------------- #
-# Shared per-bin math (pure jnp on (ab, ·) arrays): the fwd/bwd kernel
-# bodies call these, and tests can call them directly.
+# Shared per-bin math, FEATURE-MAJOR: activations are (D, ab) — D on
+# sublanes, atoms on lanes (see module docstring).  Pure jnp: the fwd/bwd
+# kernel bodies call these, and tests can call them directly.
 # --------------------------------------------------------------------- #
 
 
-def _fwd_math(x, adj, ws, act, n_blocks, dt, keep=False, drop=None):
-    """One shell-conv layer for one bin.  ``ws`` is the PREPPED per-layer
-    weight tuple ``(w_in (2D,D), b_in, w_s (2D,D), b_s, [w1,b1,w2,b2]…)``
-    (see ``_prep_layer``): the input/skip projections contract over the
-    concatenated ``[x ‖ agg]`` — one 2D-long contraction instead of two
-    D-long ones, which cuts the MXU lane-padding tax when D is not a
-    multiple of 128 (D=153 pads to 256; 2D=306 pads to 384, i.e. 1.5
-    tiles' work instead of 2).  fp32-accumulation reassociation is the
-    only numerics difference vs the two-dot form.  Returns out
+def _agg_fwd(xT, adjg, dt):
+    """aggT (D, G·ab) fp32 for G bins packed along lanes: per-bin
+    rhs-transposed matmuls against the block-diagonal (G, ab, ab)
+    adjacency — the weight matmuls run at full G·ab width while the
+    adjacency contraction never touches the zero off-bin blocks."""
+    G, ab, _ = adjg.shape
+    parts = [
+        _dot_c11(
+            jax.lax.slice_in_dim(xT, g * ab, (g + 1) * ab, axis=1).astype(dt),
+            adjg[g].astype(dt),
+        )
+        for g in range(G)
+    ]
+    return parts[0] if G == 1 else jnp.concatenate(parts, axis=1)
+
+
+def _agg_bwd(vT32, adjg, dt):
+    """(v @ adj) in T-form for G packed bins: contract adj dim 0
+    (dx[j] = Σ_i adj[i, j]·v[i]) per bin."""
+    G, ab, _ = adjg.shape
+    parts = [
+        jnp.dot(
+            jax.lax.slice_in_dim(vT32, g * ab, (g + 1) * ab, axis=1).astype(dt),
+            adjg[g].astype(dt),
+            preferred_element_type=jnp.float32,
+        )
+        for g in range(G)
+    ]
+    return parts[0] if G == 1 else jnp.concatenate(parts, axis=1)
+
+
+def _fwd_math(xT, adjg, ws, act, n_blocks, dt, keep=False, drop=None):
+    """One shell-conv layer for G lane-packed bins, feature-major.
+
+    xT: (D, G·ab); adjg: (G, ab, ab) neighbor multiplicities (agg = adj @ x
+    per bin, so in T-form aggT[d, i] = Σ_j xT[d, j]·adj[i, j] — a
+    rhs-transposed matmul, no explicit adjᵀ needed).  ``ws`` is the PREPPED
+    per-layer weight tuple
+    ``(w_inT (D,2D), b_inT (D,1), w_sT (D,2D), b_sT, [w1T,b1T,w2T,b2T]…)``
+    (see ``_prep``): the input/skip projections contract over the
+    concatenated ``[xT ‖ aggT]`` — one 2D-long contraction instead of two
+    D-long ones.  fp32-accumulation reassociation is the only numerics
+    difference vs the two-dot row-major form.  Returns outT
     (+ intermediates when ``keep`` for the backward recompute)."""
-    w_in, b_in, w_s, b_s = ws[:4]
-    agg32 = jnp.dot(
-        adj.astype(dt), x.astype(dt), preferred_element_type=jnp.float32
-    )
-    xa = jnp.concatenate([x, agg32.astype(dt)], axis=1)  # (ab, 2D)
-    t = jnp.dot(xa, w_in, preferred_element_type=jnp.float32).astype(dt) + b_in
-    h = _act_value(act, t)
-    s = jnp.dot(xa, w_s, preferred_element_type=jnp.float32).astype(dt) + b_s
+    w_inT, b_inT, w_sT, b_sT = ws[:4]
+    aggT32 = _agg_fwd(xT, adjg, dt)
+    xaT = jnp.concatenate([xT, aggT32.astype(dt)], axis=0)  # (2D, G·ab)
+    tT = _dot(w_inT, xaT, dt) + b_inT
+    h = _act_value(act, tT)
+    sT = _dot(w_sT, xaT, dt) + b_sT
     hs, us, vs, masks = [], [], [], []
     for i in range(n_blocks):
-        w1, b1, w2, b2 = ws[4 + 4 * i : 8 + 4 * i]
-        u = _dot(h, w1, dt) + b1
+        w1T, b1T, w2T, b2T = ws[4 + 4 * i : 8 + 4 * i]
+        u = _dot(w1T, h, dt) + b1T
         v = _act_value(act, u)
         if drop is not None:
             # reference block order: linear → act → dropout → linear
-            rate, seed, base_tag = drop
-            m = _dropout_mask(v.shape, rate, seed, base_tag + jnp.uint32(i))
+            rate, seed, base_tag, lane_off = drop
+            m = _dropout_mask(
+                v.shape, rate, seed, base_tag + jnp.uint32(i), lane_off
+            )
             v = _apply_dropout(v, rate, m)
             if keep:
                 masks.append(m)  # backward reuses instead of re-hashing
@@ -218,52 +276,55 @@ def _fwd_math(x, adj, ws, act, n_blocks, dt, keep=False, drop=None):
             hs.append(h)
             us.append(u)
             vs.append(v)  # post-dropout: d_w2 contracts against this
-        h = _dot(v, w2, dt) + b2 + h
-    out = h + s
+        h = _dot(w2T, v, dt) + b2T + h
+    out = h + sT
     if keep:
-        return out, (xa, t, hs, us, vs, masks)
+        return out, (xaT, tT, hs, us, vs, masks)
     return out
 
 
-def _bwd_from_saved(x, adj, ws, g, saved, act, n_blocks, dt, drop=None):
+def _bwd_from_saved(xT, adjg, ws, g, saved, act, n_blocks, dt, drop=None):
     """Walk the layer chain backward from saved forward intermediates.
-    Returns (dx fp32, per-weight fp32 grads in the PREPPED order)."""
-    xa, t, hs, us, vs, masks = saved
-    w_in, _, w_s, _ = ws[:4]
-    D = x.shape[1]
+
+    g: (D, G·ab) upstream cotangent (compute dtype).  Returns (dxT fp32,
+    per-weight fp32 grads — matrices in their ORIGINAL row-major
+    orientation, biases as (D, 1) columns; ``_unprep_grads`` maps back)."""
+    xaT, tT, hs, us, vs, masks = saved
+    w_inT, _, w_sT, _ = ws[:4]
+    D = xT.shape[0]
 
     g = g.astype(dt)
     # out = h_L + s  ⇒ both branches see g
-    d_ws = _dot_t1(xa, g)  # (2D, D) fp32
-    d_bs = jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)
-    dxa32 = _dot_t2(g, w_s)  # (ab, 2D) fp32
+    d_ws = _dot_c11(xaT, g)  # (2D, D) fp32, original orientation
+    d_bs = jnp.sum(g.astype(jnp.float32), axis=1, keepdims=True)  # (D, 1)
+    dxaT32 = _dot_c00(w_sT, g)  # (2D, ab) fp32
 
     dh = g
     grads_blocks = []
     for i in range(n_blocks - 1, -1, -1):
-        w1, _, w2, _ = ws[4 + 4 * i : 8 + 4 * i]
+        w1T, _, w2T, _ = ws[4 + 4 * i : 8 + 4 * i]
         # h_{i+1} = (act(h_i w1 + b1) w2 + b2) + h_i
         dw_out = dh  # grad at the w2-matmul output
-        d_w2 = _dot_t1(vs[i], dw_out)
-        d_b2 = jnp.sum(dw_out.astype(jnp.float32), axis=0, keepdims=True)
-        dv = _dot_t2(dw_out, w2).astype(dt)
+        d_w2 = _dot_c11(vs[i], dw_out)  # (D_u, D_h) original orientation
+        d_b2 = jnp.sum(dw_out.astype(jnp.float32), axis=1, keepdims=True)
+        dv = _dot_c00(w2T, dw_out).astype(dt)  # (D_u, ab)
         if drop is not None:
             # dropout is linear: the same mask·scale maps dv̂ → dv
             dv = _apply_dropout(dv, drop[0], masks[i])
         du = dv * _act_grad(act, us[i])
-        d_w1 = _dot_t1(hs[i], du)
-        d_b1 = jnp.sum(du.astype(jnp.float32), axis=0, keepdims=True)
-        dh = (dh.astype(jnp.float32) + _dot_t2(du, w1)).astype(dt)
+        d_w1 = _dot_c11(hs[i], du)  # (D_h, D_u) original orientation
+        d_b1 = jnp.sum(du.astype(jnp.float32), axis=1, keepdims=True)
+        dh = (dh.astype(jnp.float32) + _dot_c00(w1T, du)).astype(dt)
         grads_blocks.append((d_w1, d_b1, d_w2, d_b2))
     grads_blocks.reverse()
 
-    dt_in = dh * _act_grad(act, t)
-    d_win = _dot_t1(xa, dt_in)  # (2D, D) fp32
-    d_bin = jnp.sum(dt_in.astype(jnp.float32), axis=0, keepdims=True)
-    dxa32 = dxa32 + _dot_t2(dt_in, w_in)
+    dt_in = dh * _act_grad(act, tT)
+    d_win = _dot_c11(xaT, dt_in)  # (2D, D) fp32, original orientation
+    d_bin = jnp.sum(dt_in.astype(jnp.float32), axis=1, keepdims=True)
+    dxaT32 = dxaT32 + _dot_c00(w_inT, dt_in)
 
-    # xa = [x ‖ adj @ x]  ⇒ dx = dxa[:, :D] + adjᵀ @ dxa[:, D:]
-    dx32 = dxa32[:, :D] + _dot_t1(adj.astype(dt), dxa32[:, D:].astype(dt))
+    # xa = [x ‖ adj @ x]  ⇒ dxT = dxaT[:D] + dxaT[D:] @ adj (per bin)
+    dx32 = dxaT32[:D] + _agg_bwd(dxaT32[D:], adjg, dt)
 
     wgrads = [d_win, d_bin, d_ws, d_bs]
     for gb in grads_blocks:
@@ -283,10 +344,43 @@ def _const_spec(shape):
     )
 
 
-def _bin_spec(ab, d2):
+def _bin_spec(r, c):
     return pl.BlockSpec(
-        (1, ab, d2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (1, r, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
+
+
+def _adj_spec(G, ab):
+    return pl.BlockSpec(
+        (1, G, ab, ab), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+
+
+def _pick_group(nb, ab, D, n_layers, n_blocks, itemsize, bwd, dropout):
+    """Bins per grid step.  Packing G bins along the lane axis turns the
+    per-bin weight matmuls (n = ab lanes) into (n = G·ab) ones — per-issue
+    MXU overhead dominates at n = 256, and grouping amortizes it — while
+    the adjacency matmuls stay per-bin (the off-bin blocks are zero, so a
+    full-width adjacency contraction would waste G× its FLOPs).  G is
+    VMEM-budgeted: the backward's saved intermediates scale with G, so it
+    typically gets a smaller group than the forward."""
+    env = os.environ.get("AIMNET_MP_GROUP_BWD" if bwd else "AIMNET_MP_GROUP_FWD")
+    if env:
+        G = max(1, int(env))
+    else:
+        rows = 8 * D  # x, xa (2D), t/h/u/v/s working set
+        if bwd:
+            rows += n_layers * (3 + 3 * n_blocks) * D  # saved intermediates
+            rows += 4 * D  # fp32 cotangent accumulators
+        per_lane = rows * itemsize + ab  # + int8 adjacency column
+        if dropout:
+            per_lane += n_layers * n_blocks * D  # keep-masks
+        budget = 10 * 2**20  # of ~16 MB VMEM; weights/grads use the rest
+        G = max(1, int(budget // (per_lane * ab)))
+    G = min(G, nb, 16)
+    while nb % G:
+        G -= 1
+    return G
 
 
 @functools.lru_cache(maxsize=32)
@@ -297,10 +391,11 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
 
     Signature of the returned fn: ``f(x3, adj, *ws)`` with x3 (nb, ab, D),
     adj (nb, ab, ab) int8, and ws the concatenation of every layer's flat
-    weight tuple (fp32 masters; cast to the compute dtype inside the op).
-    With ``residual`` each layer applies ``x ← f(x) + x`` in-kernel
-    (reference gnn.py:302-306) so inter-layer activations never touch HBM;
-    without it (single-layer mode) the caller adds the residual.
+    weight tuple (fp32 masters; cast + transposed to the feature-major
+    compute form inside the op).  With ``residual`` each layer applies
+    ``x ← f(x) + x`` in-kernel (reference gnn.py:302-306) so inter-layer
+    activations never touch HBM; without it (single-layer mode) the caller
+    adds the residual.
     """
     dt = jnp.dtype(dtype_name)
     n_w = 4 + 4 * n_blocks  # PREPPED weights per layer (in/skip kernels fused)
@@ -310,26 +405,27 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
     def _layer_ws(rest, l):
         return tuple(r[...] for r in rest[l * n_w : (l + 1) * n_w])
 
-    def _drop_ctx(seed_ref, l):
-        # per-(bin, layer) tag base; blocks offset from it (_fwd_math)
+    def _drop_ctx(seed_ref, l, lanes):
+        # static (layer, block) tag base + the grid step's global lane
+        # offset: mask identity is (feature, global atom) — grid-shape
+        # independent, so fwd and bwd agree at different group sizes
         if dropout == 0.0:
             return None
-        pid = jnp.uint32(pl.program_id(0))
-        base = (pid * jnp.uint32(n_layers) + jnp.uint32(l)) * jnp.uint32(n_blocks)
+        lane_off = jnp.uint32(pl.program_id(0)) * jnp.uint32(lanes)
         # int32 → uint32 is a value-preserving bit reinterpretation mod 2³²
         seed = jnp.uint32(seed_ref[0])
-        return (dropout, seed, base)
+        return (dropout, seed, l * n_blocks, lane_off)
 
     def fwd_kernel(*refs):
         seed_ref = refs[0] if dropout else None
         x_ref, adj_ref, *rest = refs[1 if dropout else 0 :]
         out_ref = rest[n_tot]
         adj = adj_ref[0]
-        x = x_ref[0]
+        x = x_ref[0]  # (D, ab) feature-major
         for l in range(n_layers):
             y = _fwd_math(
                 x, adj, _layer_ws(rest, l), act, n_blocks, dt,
-                drop=_drop_ctx(seed_ref, l),
+                drop=_drop_ctx(seed_ref, l, x.shape[-1]),
             )
             x = y + x if residual else y
         out_ref[0] = x
@@ -348,7 +444,7 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
         for l in range(n_layers):
             y, saved = _fwd_math(
                 x, adj, _layer_ws(rest, l), act, n_blocks, dt, keep=True,
-                drop=_drop_ctx(seed_ref, l),
+                drop=_drop_ctx(seed_ref, l, x.shape[-1]),
             )
             xs.append(x)
             saveds.append(saved)
@@ -359,7 +455,7 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
         for l in range(n_layers - 1, -1, -1):
             dx32, wgrads = _bwd_from_saved(
                 xs[l], adj, _layer_ws(rest, l), g32.astype(dt), saveds[l],
-                act, n_blocks, dt, drop=_drop_ctx(seed_ref, l),
+                act, n_blocks, dt, drop=_drop_ctx(seed_ref, l, g_ref.shape[-1]),
             )
             g32 = dx32 + g32 if residual else dx32
             wgrads_layers[l] = wgrads
@@ -376,22 +472,30 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
 
     def _prep(ws_f32):
         # Cast master fp32 weights to the compute dtype INSIDE the op (so
-        # the VJP's cotangents stay fp32 — no bf16 round-trip on dW) and
+        # the VJP's cotangents stay fp32 — no bf16 round-trip on dW),
         # stack each layer's (w_in0, w_in1) / (w_s0, w_s1) kernel pairs
-        # into single (2D, D) matrices for the fused [x ‖ agg] contraction.
+        # into single (2D, D) matrices for the fused [x ‖ agg] contraction,
+        # and TRANSPOSE everything to the feature-major kernel form:
+        # matrices (out_dim, in_dim), biases (D, 1) columns.
         out = []
         for l in range(n_layers):
             lw = ws_f32[l * n_orig : (l + 1) * n_orig]
             w_in0, w_in1, b_in, w_s0, w_s1, b_s = lw[:6]
-            out.append(jnp.concatenate([w_in0, w_in1], axis=0).astype(dt))
-            out.append(b_in.astype(dt).reshape(1, -1))
-            out.append(jnp.concatenate([w_s0, w_s1], axis=0).astype(dt))
-            out.append(b_s.astype(dt).reshape(1, -1))
+            out.append(jnp.concatenate([w_in0, w_in1], axis=0).T.astype(dt))
+            out.append(b_in.astype(dt).reshape(-1, 1))
+            out.append(jnp.concatenate([w_s0, w_s1], axis=0).T.astype(dt))
+            out.append(b_s.astype(dt).reshape(-1, 1))
             out.extend(
-                w.astype(dt) if w.ndim == 2 else w.astype(dt).reshape(1, -1)
+                w.T.astype(dt) if w.ndim == 2 else w.astype(dt).reshape(-1, 1)
                 for w in lw[6:]
             )
         return tuple(out)
+
+    def _grad_shape(w):
+        # kernel emits weight grads in ORIGINAL row-major orientation
+        # (matrices: transpose of the prepped form; (D, 1) bias columns
+        # keep their shape — biases are the shape[1] == 1 entries)
+        return w.shape if w.shape[1] == 1 else (w.shape[1], w.shape[0])
 
     def _unprep_grads(ws_f32, prepped_grads):
         # Map PREPPED-order fp32 grads back to the caller's weight order.
@@ -416,56 +520,70 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
         seed_i = jax.lax.bitcast_convert_type(seed, jnp.int32)
         return [pl.BlockSpec(memory_space=pltpu.SMEM)], [seed_i]
 
+    def _group(x3, adj, G):
+        """(nb, ab, D) → feature-major (nb/G, D, G·ab) + (nb/G, G, ab, ab).
+        The row regroup is a contiguous reshape; the transpose is one
+        HBM-bandwidth XLA op."""
+        nb, ab, d = x3.shape
+        xg = x3.reshape(nb // G, G * ab, d)
+        return jnp.swapaxes(xg, 1, 2), adj.reshape(nb // G, G, ab, ab)
+
     def forward(x3, adj, seed, *ws_f32):
         nb, ab, d = x3.shape
         ws = _prep(ws_f32)
         seed_specs, seed_vals = _seed_args(seed)
+        G = _pick_group(nb, ab, d, n_layers, n_blocks, dt.itemsize, False, dropout)
+        xT, adjg = _group(x3, adj, G)
         flops = 2 * nb * ab * (
-            n_layers * ab * d + sum(w.size for w in ws if w.ndim == 2)
+            n_layers * ab * d + sum(w.size for w in ws if w.shape[1] > 1)
         )
-        return pl.pallas_call(
+        outT = pl.pallas_call(
             fwd_kernel,
-            grid=(nb,),
+            grid=(nb // G,),
             in_specs=[
                 *seed_specs,
-                _bin_spec(ab, d),
-                _bin_spec(ab, ab),
+                _bin_spec(d, G * ab),
+                _adj_spec(G, ab),
                 *[_const_spec(w.shape) for w in ws],
             ],
-            out_specs=_bin_spec(ab, d),
-            out_shape=jax.ShapeDtypeStruct((nb, ab, d), x3.dtype),
+            out_specs=_bin_spec(d, G * ab),
+            out_shape=jax.ShapeDtypeStruct((nb // G, d, G * ab), x3.dtype),
             cost_estimate=pl.CostEstimate(
                 flops=flops,
                 bytes_accessed=x3.size * 4,
                 transcendentals=n_layers * nb * ab * d,
             ),
             interpret=interpret,
-        )(*seed_vals, x3, adj, *ws)
+        )(*seed_vals, xT, adjg, *ws)
+        return jnp.swapaxes(outT, 1, 2).reshape(nb, ab, d)
 
     def backward_call(x3, adj, seed, ws_f32, g):
         nb, ab, d = x3.shape
         ws = _prep(ws_f32)
         seed_specs, seed_vals = _seed_args(seed)
-        wg_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws]
+        G = _pick_group(nb, ab, d, n_layers, n_blocks, dt.itemsize, True, dropout)
+        xT, adjg = _group(x3, adj, G)
+        gT, _ = _group(g, adj, G)
+        wg_shapes = [jax.ShapeDtypeStruct(_grad_shape(w), jnp.float32) for w in ws]
         flops = 3 * 2 * nb * ab * (
-            n_layers * ab * d + sum(w.size for w in ws if w.ndim == 2)
+            n_layers * ab * d + sum(w.size for w in ws if w.shape[1] > 1)
         )
         outs = pl.pallas_call(
             bwd_kernel,
-            grid=(nb,),
+            grid=(nb // G,),
             in_specs=[
                 *seed_specs,
-                _bin_spec(ab, d),
-                _bin_spec(ab, ab),
+                _bin_spec(d, G * ab),
+                _adj_spec(G, ab),
                 *[_const_spec(w.shape) for w in ws],
-                _bin_spec(ab, d),
+                _bin_spec(d, G * ab),
             ],
             out_specs=[
-                _bin_spec(ab, d),
+                _bin_spec(d, G * ab),
                 *[_const_spec(s.shape) for s in wg_shapes],
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((nb, ab, d), x3.dtype),
+                jax.ShapeDtypeStruct((nb // G, d, G * ab), x3.dtype),
                 *wg_shapes,
             ],
             cost_estimate=pl.CostEstimate(
@@ -474,8 +592,9 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
                 transcendentals=2 * n_layers * nb * ab * d,
             ),
             interpret=interpret,
-        )(*seed_vals, x3, adj, *ws, g)
-        return outs[0], _unprep_grads(ws_f32, outs[1:])
+        )(*seed_vals, xT, adjg, *ws, gT)
+        dx = jnp.swapaxes(outs[0], 1, 2).reshape(nb, ab, d)
+        return dx, _unprep_grads(ws_f32, outs[1:])
 
     # ``seed`` is a traced (1,) float32 holding uint32 bits (bitcast by the
     # caller): float dtype so the custom VJP can hand back a plain zero
