@@ -34,14 +34,16 @@ from flax import struct
 
 from ..data.batching import MolBatch
 from ..ops import segment_sum
-from ..ops.embed import embed_concat_onehot
+from ..ops.embed import embed_concat_onehot, embed_concat_onehot_t
 from ..utils.activation import get_activation_function
 from .layers import Linear, LinearParams, MultiLayerPerceptron, ShellConvolutionLayer
 from .pooling import (
     MultiHeadAttentionPooling,
     binned_max_pool,
     binned_mean_pool,
+    binned_mean_pool_t,
     binned_sum_pool,
+    binned_sum_pool_t,
     max_pool,
     mean_pool,
     sum_pool,
@@ -159,6 +161,28 @@ class GNN(nn.Module):
         halo = batch.halo_send_idx is not None
         pool_axis = cfg.graph_axis if halo else None
 
+        # Fully-fused MP stack decision, made EARLY because it selects the
+        # feature-major (xT (D, A)) atom datapath end-to-end: when the
+        # binned megakernel runs (ops/bin_mp.py), embeddings, the
+        # x_self/x_other projections and the linear pools all keep the
+        # atom axis on lanes — zero layout transposes between the
+        # embedding matmul and the pooled (B, ·) molecule array.
+        use_stack = (
+            cfg.parity_mode
+            and batch.bin_adj is not None
+            and cfg.graph_axis is None
+            and not cfg.use_partial_charges
+            and not cfg.use_stereochemistry
+            and cfg.num_message_passing_layers > 1
+        )
+        mk_mode = None
+        if use_stack:
+            from ..ops.bin_mp import megakernel_enabled
+
+            mk_mode = megakernel_enabled()
+            use_stack = mk_mode is not None
+        t_path = use_stack
+
         # 1. Embedding lookups (reference gnn.py:262-274)
         tables, fields = [], []
         for name, field in (
@@ -173,7 +197,15 @@ class GNN(nn.Module):
             )
             fields.append(field)
         cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
-        if cdt is not None:
+        if t_path:
+            # feature-major (4*emb, A); fp32 one-hot matmul == the gather
+            # exactly (0/1 products), bf16 rounds where bf16 mode already
+            # rounds (the projection below)
+            xT = embed_concat_onehot_t(
+                tables, fields, dtype=cdt if cdt is not None else jnp.float32
+            )
+            x = None
+        elif cdt is not None:
             # one block-diagonal MXU matmul instead of 4 gathers (+ their
             # scatter backwards); bf16-exact for the 0/1 one-hots.  Pure
             # jnp ops, so it is autodiff- and shard_map-safe.
@@ -187,8 +219,9 @@ class GNN(nn.Module):
         # column-sliced so x_self / x_other come from two direct matmuls —
         # no (A, hidden) intermediate + split materialization (exact: the
         # split commutes with the column blocks and the activation).
+        in_dim = 4 * cfg.embedding_dim
         k_ep, b_ep = LinearParams(
-            cfg.hidden_dim, x.shape[-1], init="xavier", name="embedding_projection"
+            cfg.hidden_dim, in_dim, init="xavier", name="embedding_projection"
         )()
         xs = cfg.x_self_dim
 
@@ -201,8 +234,24 @@ class GNN(nn.Module):
                 y = jnp.dot(x, k)
             return act(y + b.astype(y.dtype))
 
-        x_self = _proj_cols(k_ep[:, :xs], b_ep[:xs])
-        x_other = _proj_cols(k_ep[:, xs:], b_ep[xs:])
+        def _proj_rows_t(k, b):
+            # feature-major twin: yT = kᵀ @ xT (same fp32-accumulate →
+            # cast → bias-add points as _proj_cols; transpose is exact)
+            kT = k.T
+            if cdt is not None:
+                y = jnp.dot(
+                    kT.astype(cdt), xT, preferred_element_type=jnp.float32
+                ).astype(cdt)
+            else:
+                y = jnp.dot(kT, xT)
+            return act(y + b.astype(y.dtype)[:, None])
+
+        if t_path:
+            x_self = _proj_rows_t(k_ep[:, :xs], b_ep[:xs])  # (xs, A)
+            x_other = _proj_rows_t(k_ep[:, xs:], b_ep[xs:])  # (D, A)
+        else:
+            x_self = _proj_cols(k_ep[:, :xs], b_ep[:xs])
+            x_other = _proj_cols(k_ep[:, xs:], b_ep[xs:])
 
         # Dead params for parity (Q5; reference gnn.py:146,194)
         if cfg.parity_params:
@@ -228,26 +277,14 @@ class GNN(nn.Module):
             if cfg.remat
             else ShellConvolutionLayer
         )
-        # Fully-fused MP stack (ops/bin_mp.py::binned_mp_stack): when no
+        # Fully-fused MP stack (ops/bin_mp.py::binned_mp_stack_t): when no
         # per-layer charge/stereo injection runs between layers, the whole
         # loop is ONE pallas_call — inter-layer activations and residuals
         # never leave VMEM, and none of the per-layer kernel-boundary
         # layout copies exist.  (Remat is moot here: the stack's VJP saves
         # only the stack input and recomputes in VMEM.)
-        use_stack = (
-            cfg.parity_mode
-            and batch.bin_adj is not None
-            and cfg.graph_axis is None
-            and not cfg.use_partial_charges
-            and not cfg.use_stereochemistry
-            and cfg.num_message_passing_layers > 1
-        )
         if use_stack:
-            from ..ops.bin_mp import binned_mp_stack, megakernel_enabled
-
-            mk_mode = megakernel_enabled()
-            use_stack = mk_mode is not None
-        if use_stack:
+            from ..ops.bin_mp import binned_mp_stack_t
             ws_layers = []
             for layer_idx in range(cfg.num_message_passing_layers):
                 ws_layers.append(
@@ -278,7 +315,7 @@ class GNN(nn.Module):
                 drop_seed = jax.random.randint(
                     self.make_rng("dropout"), (1,), -(2**31), 2**31 - 1, jnp.int32
                 )
-            x_other = binned_mp_stack(
+            x_other = binned_mp_stack_t(
                 x_other,
                 batch.bin_adj,
                 tuple(ws_layers),
@@ -338,7 +375,22 @@ class GNN(nn.Module):
         # train step (pooling commutes past the projection below), so XLA
         # DCEs the whole (A, hidden) computation there.
         xs_dim = cfg.x_self_dim
-        if cdt is not None:
+        if t_path:
+            # parts are (d_p, A): contract dim 0 of both → (A, hidden)
+            # directly, no transposes (dead in the train step; DCE'd)
+            def _cc(pT, kblk):
+                kb = kblk.astype(cdt) if cdt is not None else kblk
+                return jax.lax.dot_general(
+                    pT, kb, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            atom_embeddings = _cc(x_self, k_cs[:xs_dim]) + _cc(xo, k_cs[xs_dim:])
+            if cdt is not None:
+                atom_embeddings = atom_embeddings.astype(cdt) + b_cs.astype(cdt)
+            else:
+                atom_embeddings = atom_embeddings + b_cs
+        elif cdt is not None:
             atom_embeddings = (
                 jnp.dot(
                     x_self, k_cs[:xs_dim].astype(cdt),
@@ -372,13 +424,20 @@ class GNN(nn.Module):
         def _pool_then_project(pooled_parts, bias_factor):
             mol = b_cs * bias_factor.astype(jnp.float32)[:, None]
             row = 0
-            for pp in pooled_parts:  # (B, d_p) each — tiny matmuls
-                mol = mol + jnp.dot(
-                    pp.astype(x_self.dtype),
-                    k_cs[row : row + pp.shape[-1]].astype(x_self.dtype),
-                    preferred_element_type=jnp.float32,
-                )
-                row += pp.shape[-1]
+            for pp in pooled_parts:  # (B, d_p) / (d_p, B) — tiny matmuls
+                d_p = pp.shape[0] if t_path else pp.shape[-1]
+                blk = k_cs[row : row + d_p].astype(x_self.dtype)
+                if t_path:  # feature-major parts: contract dim 0 of both
+                    mol = mol + jax.lax.dot_general(
+                        pp.astype(x_self.dtype), blk, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                else:
+                    mol = mol + jnp.dot(
+                        pp.astype(x_self.dtype), blk,
+                        preferred_element_type=jnp.float32,
+                    )
+                row += d_p
             return mol
 
         attention_weights = None
@@ -396,10 +455,19 @@ class GNN(nn.Module):
                 deterministic=deterministic,
                 pool_mat=batch.pool_mat if binned else None,
                 pre_proj=(k_cs, b_cs) if linear_pool else None,
+                feature_major=t_path and linear_pool,
             )
         elif cfg.pooling_type == "mean":
             if linear_pool:
-                if binned:
+                if binned and t_path:
+                    # per-part pools: ragged widths are sublane dims in
+                    # feature-major — no concat materialization needed
+                    pooled = [
+                        binned_mean_pool_t(p, batch.pool_mat)
+                        for p in (x_self, xo)
+                    ]
+                    cov = (batch.pool_mat.sum(axis=2) > 0).reshape(-1)
+                elif binned:
                     # lane-aligned full-width einsum (see pooling.py note)
                     pooled = [
                         binned_mean_pool(
@@ -433,7 +501,13 @@ class GNN(nn.Module):
             )
         elif cfg.pooling_type == "sum":
             if linear_pool:
-                if binned:
+                if binned and t_path:
+                    pooled = [
+                        binned_sum_pool_t(p, batch.pool_mat)
+                        for p in (x_self, xo)
+                    ]
+                    counts = batch.pool_mat.sum(axis=2).reshape(-1)
+                elif binned:
                     pooled = [
                         binned_sum_pool(
                             jnp.concatenate([x_self, xo], axis=-1), batch.pool_mat

@@ -150,7 +150,10 @@ class ShellConvolutionLayer(nn.Module):
         bin_adj: jax.Array | None = None,  # (bins, ab, ab) int8 dense path
         weights_only: bool = False,  # return the flat weight tuple (stack path)
     ) -> jax.Array:
-        A, D = x.shape
+        # weights_only callers may hand a feature-major (D, A) array (the
+        # binned fast path) — parameter shapes come from self.dim, not x
+        D = self.dim if weights_only else x.shape[1]
+        A = x.shape[0]
         K = self.num_hops
         act = get_activation_function(self.activation_type)
         in_dim = D * (K + 1)

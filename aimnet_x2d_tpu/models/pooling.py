@@ -191,7 +191,7 @@ class MultiHeadAttentionPooling(nn.Module):
     @nn.compact
     def __call__(
         self, x, atom_mol, atom_mask, num_graphs, *, deterministic=True,
-        pool_mat=None, pre_proj=None,
+        pool_mat=None, pre_proj=None, feature_major=False,
     ):
         """With ``pre_proj=(k_cs, b_cs)``, ``x`` is the PRE-projection atom
         array — given as the LIST of concat parts [x_self, x_other] so the
@@ -224,33 +224,69 @@ class MultiHeadAttentionPooling(nn.Module):
             score_b = jnp.dot(b_cs, kernel) + bias
         else:
             score_k, score_b = kernel, bias
-        scores32 = score_b
-        row = 0
-        for p in parts:
-            blk = score_k[row : row + p.shape[-1]]
-            scores32 = scores32 + jnp.dot(
-                p, blk.astype(p.dtype), preferred_element_type=jnp.float32
-            )
-            row += p.shape[-1]
-        scores = scores32.T / temperature  # (H, A)
+        if feature_major:
+            # parts are (d_p, A): scores land in (H, A) directly, pooled
+            # parts in (d_p, B) — the atom axis stays on lanes throughout
+            scores32 = score_b[:, None]
+            row = 0
+            for p in parts:
+                blk = score_k[row : row + p.shape[0]].astype(p.dtype)
+                scores32 = scores32 + jax.lax.dot_general(
+                    blk, p, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                row += p.shape[0]
+            scores = scores32 / temperature  # (H, A)
+        else:
+            scores32 = score_b
+            row = 0
+            for p in parts:
+                blk = score_k[row : row + p.shape[-1]]
+                scores32 = scores32 + jnp.dot(
+                    p, blk.astype(p.dtype), preferred_element_type=jnp.float32
+                )
+                row += p.shape[-1]
+            scores = scores32.T / temperature  # (H, A)
 
-        def _project(pooled_parts, cov):
+        def _project(pooled_parts, cov, parts_t=False):
             if pre_proj is None:
                 return pooled_parts[0]
             k_cs, b_cs = pre_proj
             dt = parts[0].dtype
             mol = b_cs * cov[:, None]
             row = 0
-            for pp in pooled_parts:  # (B, d_p) each — tiny matmuls
-                mol = mol + jnp.dot(
-                    pp.astype(dt),
-                    k_cs[row : row + pp.shape[-1]].astype(dt),
-                    preferred_element_type=jnp.float32,
-                )
-                row += pp.shape[-1]
+            for pp in pooled_parts:  # (B, d_p) / (d_p, B) — tiny matmuls
+                d_p = pp.shape[0] if parts_t else pp.shape[-1]
+                blk = k_cs[row : row + d_p].astype(dt)
+                if parts_t:
+                    mol = mol + jax.lax.dot_general(
+                        pp.astype(dt), blk, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                else:
+                    mol = mol + jnp.dot(
+                        pp.astype(dt), blk, preferred_element_type=jnp.float32
+                    )
+                row += d_p
             return mol
 
         if pool_mat is not None and self.graph_axis is None:
+            if feature_major:
+                assert pre_proj is not None, "feature_major requires pre_proj"
+                attn = binned_attention_softmax_t(scores, pool_mat)
+                # per-part pools: ragged widths (359/153) are SUBLANE dims
+                # in feature-major — no lane padding, and no (512, A)
+                # concat for XLA to materialize + relayout in backward
+                pooled = _project(
+                    [binned_attention_pool_t(p, attn, pool_mat) for p in parts],
+                    binned_attention_coverage(attn, pool_mat),
+                    parts_t=True,
+                )
+                if self.dropout_prob > 0:
+                    pooled = nn.Dropout(self.dropout_prob)(
+                        pooled, deterministic=deterministic
+                    )
+                return pooled, attn
             if pre_proj is not None and self.dropout_prob == 0 and len(parts) == 2:
                 from ..ops.bin_pool import (
                     binned_attention_pool_fused,
@@ -333,3 +369,98 @@ class MultiHeadAttentionPooling(nn.Module):
         if self.dropout_prob > 0:
             pooled = nn.Dropout(self.dropout_prob)(pooled, deterministic=deterministic)
         return pooled, attn
+
+
+# --------------------------------------------------------------------- #
+# Feature-major (xT (D, A)) twins of the binned pools: same math, but the
+# atom axis stays on lanes end-to-end (models/gnn.py binned fast path) —
+# no (A, D)-major arrays or layout transposes exist anywhere between the
+# embedding and the pooled (B-sized) molecule array.
+# --------------------------------------------------------------------- #
+
+
+def _wpool_mode():
+    from ..ops.bin_wpool import wpool_kernel_enabled
+
+    return wpool_kernel_enabled()
+
+
+def binned_sum_pool_t(xT, pool_mat):
+    """xT (D, A) → pooledT (D, nb·mb) fp32."""
+    nb, mb, ab = pool_mat.shape
+    dt = xT.dtype if xT.dtype == jnp.bfloat16 else jnp.float32
+    mode = _wpool_mode()
+    if mode is not None:
+        from ..ops.bin_wpool import binned_wpool_t
+
+        ones = jnp.ones((1, xT.shape[1]), jnp.float32)
+        out = binned_wpool_t(
+            xT.astype(dt), ones, pool_mat, interpret=mode == "interpret"
+        )
+        if out is not None:
+            return out
+    pooled = jnp.einsum(
+        "dba,bma->dbm",
+        xT.reshape(xT.shape[0], nb, ab).astype(dt),
+        pool_mat.astype(dt),
+        preferred_element_type=jnp.float32,
+    )
+    return pooled.reshape(xT.shape[0], nb * mb)
+
+
+def binned_mean_pool_t(xT, pool_mat):
+    tot = binned_sum_pool_t(xT, pool_mat)
+    cnt = jnp.maximum(pool_mat.sum(axis=2).astype(jnp.float32), 1.0)
+    return tot / cnt.reshape(1, -1)
+
+
+def binned_attention_softmax_t(scores, pool_mat):
+    """Per-molecule masked softmax, feature-major internals.
+
+    scores (H, A) → attn (H, A); identical numbers to
+    :func:`binned_attention_softmax` (same mask value, stop-gradient max
+    shift, denominator floor), but every intermediate keeps the atom axis
+    minor — no (A, H)-major reshapes for XLA to transpose-pad.
+    """
+    nb, mb, ab = pool_mat.shape
+    H = scores.shape[0]
+    ohf = pool_mat.astype(jnp.float32)
+    s = scores.reshape(H, nb, ab)
+    cover = pool_mat.sum(axis=1) > 0  # (nb, ab)
+    neg = jnp.float32(-1e30)
+    smax = jnp.max(
+        jnp.where(pool_mat[None] > 0, s[:, :, None, :], neg), axis=3
+    )  # (H, nb, mb)
+    satom = jnp.einsum("bma,hbm->hba", ohf, jax.lax.stop_gradient(smax))
+    e = jnp.where(cover[None], jnp.exp(s - satom), 0.0)
+    denom = jnp.einsum("bma,hba->hbm", ohf, e)
+    denom_atom = jnp.einsum("bma,hbm->hba", ohf, denom)
+    w = e / jnp.maximum(denom_atom, 1e-16)
+    return w.reshape(H, nb * ab)
+
+
+def binned_attention_pool_t(xT, attn, pool_mat):
+    """Head-averaged weighted pool, feature-major: xT (D, A), attn (H, A)
+    → pooledT (D, nb·mb) fp32 (weights averaged over heads first, as in
+    :func:`binned_attention_pool`)."""
+    nb, mb, ab = pool_mat.shape
+    dt = xT.dtype if xT.dtype == jnp.bfloat16 else jnp.float32
+    mode = _wpool_mode()
+    if mode is not None:
+        # flat lane-window Pallas pool (ops/bin_wpool.py): the batched
+        # einsum below makes XLA relayout-copy ~7 ms/step at flagship shape
+        from ..ops.bin_wpool import binned_wpool_t
+
+        out = binned_wpool_t(
+            xT.astype(dt), attn.mean(axis=0), pool_mat,
+            interpret=mode == "interpret",
+        )
+        if out is not None:
+            return out
+    wbar = attn.mean(axis=0).reshape(nb, ab).astype(dt)
+    xb = xT.reshape(xT.shape[0], nb, ab).astype(dt)
+    pooled = jnp.einsum(
+        "dba,bma->dbm", xb * wbar[None], pool_mat.astype(dt),
+        preferred_element_type=jnp.float32,
+    )
+    return pooled.reshape(xT.shape[0], nb * mb)

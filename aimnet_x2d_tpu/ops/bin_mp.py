@@ -344,18 +344,6 @@ def _const_spec(shape):
     )
 
 
-def _bin_spec(r, c):
-    return pl.BlockSpec(
-        (1, r, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-    )
-
-
-def _adj_spec(G, ab):
-    return pl.BlockSpec(
-        (1, G, ab, ab), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
-    )
-
-
 def _pick_group(nb, ab, D, n_layers, n_blocks, itemsize, bwd, dropout):
     """Bins per grid step.  Packing G bins along the lane axis turns the
     per-bin weight matmuls (n = ab lanes) into (n = G·ab) ones — per-issue
@@ -420,15 +408,15 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
         seed_ref = refs[0] if dropout else None
         x_ref, adj_ref, *rest = refs[1 if dropout else 0 :]
         out_ref = rest[n_tot]
-        adj = adj_ref[0]
-        x = x_ref[0]  # (D, ab) feature-major
+        adj = adj_ref[...]  # (G, ab, ab) block-diagonal group
+        x = x_ref[...]  # (D, G*ab) feature-major lane window
         for l in range(n_layers):
             y = _fwd_math(
                 x, adj, _layer_ws(rest, l), act, n_blocks, dt,
                 drop=_drop_ctx(seed_ref, l, x.shape[-1]),
             )
             x = y + x if residual else y
-        out_ref[0] = x
+        out_ref[...] = x
 
     def bwd_kernel(*refs):
         seed_ref = refs[0] if dropout else None
@@ -436,10 +424,10 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
         g_ref = rest[n_tot]
         dx_ref = rest[n_tot + 1]
         grad_refs = rest[n_tot + 2 :]
-        adj = adj_ref[0]
+        adj = adj_ref[...]
         # Recompute pass (stays in VMEM), keeping per-layer inputs and
         # intermediates so the backward walk costs no extra matmuls.
-        x = x_ref[0]
+        x = x_ref[...]
         xs, saveds = [], []
         for l in range(n_layers):
             y, saved = _fwd_math(
@@ -450,7 +438,7 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
             saveds.append(saved)
             x = y + x if residual else y
         # Backward walk; the residual identity path keeps g flowing in fp32.
-        g32 = g_ref[0].astype(jnp.float32)
+        g32 = g_ref[...].astype(jnp.float32)
         wgrads_layers = [None] * n_layers
         for l in range(n_layers - 1, -1, -1):
             dx32, wgrads = _bwd_from_saved(
@@ -459,7 +447,7 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
             )
             g32 = dx32 + g32 if residual else dx32
             wgrads_layers[l] = wgrads
-        dx_ref[0] = g32.astype(dx_ref.dtype)
+        dx_ref[...] = g32.astype(dx_ref.dtype)
         flat_wgrads = [wg for lws in wgrads_layers for wg in lws]
 
         @pl.when(pl.program_id(0) == 0)
@@ -520,50 +508,52 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
         seed_i = jax.lax.bitcast_convert_type(seed, jnp.int32)
         return [pl.BlockSpec(memory_space=pltpu.SMEM)], [seed_i]
 
-    def _group(x3, adj, G):
-        """(nb, ab, D) → feature-major (nb/G, D, G·ab) + (nb/G, G, ab, ab).
-        The row regroup is a contiguous reshape; the transpose is one
-        HBM-bandwidth XLA op."""
-        nb, ab, d = x3.shape
-        xg = x3.reshape(nb // G, G * ab, d)
-        return jnp.swapaxes(xg, 1, 2), adj.reshape(nb // G, G, ab, ab)
+    def _lane_spec(r, lanes):
+        # lane-window block over a flat feature-major (r, A) array: grid
+        # step i covers columns [i*lanes, (i+1)*lanes) — no reshapes or
+        # transposes at the op boundary, so producers/consumers that also
+        # speak feature-major chain with zero layout copies
+        return pl.BlockSpec((r, lanes), lambda i: (0, i), memory_space=pltpu.VMEM)
 
-    def forward(x3, adj, seed, *ws_f32):
-        nb, ab, d = x3.shape
+    def _adj_spec(G, ab):
+        return pl.BlockSpec(
+            (G, ab, ab), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    def forward(xT, adj, seed, *ws_f32):
+        d, A = xT.shape
+        nb, ab, _ = adj.shape
         ws = _prep(ws_f32)
         seed_specs, seed_vals = _seed_args(seed)
         G = _pick_group(nb, ab, d, n_layers, n_blocks, dt.itemsize, False, dropout)
-        xT, adjg = _group(x3, adj, G)
         flops = 2 * nb * ab * (
             n_layers * ab * d + sum(w.size for w in ws if w.shape[1] > 1)
         )
-        outT = pl.pallas_call(
+        return pl.pallas_call(
             fwd_kernel,
             grid=(nb // G,),
             in_specs=[
                 *seed_specs,
-                _bin_spec(d, G * ab),
+                _lane_spec(d, G * ab),
                 _adj_spec(G, ab),
                 *[_const_spec(w.shape) for w in ws],
             ],
-            out_specs=_bin_spec(d, G * ab),
-            out_shape=jax.ShapeDtypeStruct((nb // G, d, G * ab), x3.dtype),
+            out_specs=_lane_spec(d, G * ab),
+            out_shape=jax.ShapeDtypeStruct((d, A), xT.dtype),
             cost_estimate=pl.CostEstimate(
                 flops=flops,
-                bytes_accessed=x3.size * 4,
+                bytes_accessed=xT.size * 4,
                 transcendentals=n_layers * nb * ab * d,
             ),
             interpret=interpret,
-        )(*seed_vals, xT, adjg, *ws)
-        return jnp.swapaxes(outT, 1, 2).reshape(nb, ab, d)
+        )(*seed_vals, xT, adj, *ws)
 
-    def backward_call(x3, adj, seed, ws_f32, g):
-        nb, ab, d = x3.shape
+    def backward_call(xT, adj, seed, ws_f32, gT):
+        d, A = xT.shape
+        nb, ab, _ = adj.shape
         ws = _prep(ws_f32)
         seed_specs, seed_vals = _seed_args(seed)
         G = _pick_group(nb, ab, d, n_layers, n_blocks, dt.itemsize, True, dropout)
-        xT, adjg = _group(x3, adj, G)
-        gT, _ = _group(g, adj, G)
         wg_shapes = [jax.ShapeDtypeStruct(_grad_shape(w), jnp.float32) for w in ws]
         flops = 3 * 2 * nb * ab * (
             n_layers * ab * d + sum(w.size for w in ws if w.shape[1] > 1)
@@ -573,42 +563,41 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
             grid=(nb // G,),
             in_specs=[
                 *seed_specs,
-                _bin_spec(d, G * ab),
+                _lane_spec(d, G * ab),
                 _adj_spec(G, ab),
                 *[_const_spec(w.shape) for w in ws],
-                _bin_spec(d, G * ab),
+                _lane_spec(d, G * ab),
             ],
             out_specs=[
-                _bin_spec(d, G * ab),
-                *[_const_spec(s.shape) for s in wg_shapes],
+                _lane_spec(d, G * ab),
+                *[_const_spec(sh.shape) for sh in wg_shapes],
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((nb // G, d, G * ab), x3.dtype),
+                jax.ShapeDtypeStruct((d, A), xT.dtype),
                 *wg_shapes,
             ],
             cost_estimate=pl.CostEstimate(
                 flops=flops,
-                bytes_accessed=x3.size * 8,
+                bytes_accessed=xT.size * 8,
                 transcendentals=2 * n_layers * nb * ab * d,
             ),
             interpret=interpret,
-        )(*seed_vals, xT, adjg, *ws, gT)
-        dx = jnp.swapaxes(outs[0], 1, 2).reshape(nb, ab, d)
-        return dx, _unprep_grads(ws_f32, outs[1:])
+        )(*seed_vals, xT, adj, *ws, gT)
+        return outs[0], _unprep_grads(ws_f32, outs[1:])
 
     # ``seed`` is a traced (1,) float32 holding uint32 bits (bitcast by the
     # caller): float dtype so the custom VJP can hand back a plain zero
     # cotangent (integer primals would need float0 bookkeeping).
     @jax.custom_vjp
-    def op(x3, adj, seed, *ws_f32):
-        return forward(x3, adj, seed, *ws_f32)
+    def op(xT, adj, seed, *ws_f32):
+        return forward(xT, adj, seed, *ws_f32)
 
-    def op_fwd(x3, adj, seed, *ws_f32):
-        return forward(x3, adj, seed, *ws_f32), (x3, adj, seed, ws_f32)
+    def op_fwd(xT, adj, seed, *ws_f32):
+        return forward(xT, adj, seed, *ws_f32), (xT, adj, seed, ws_f32)
 
     def op_bwd(res, g):
-        x3, adj, seed, ws_f32 = res
-        dx, wgrads = backward_call(x3, adj, seed, ws_f32, g)
+        xT, adj, seed, ws_f32 = res
+        dx, wgrads = backward_call(xT, adj, seed, ws_f32, g)
         return (dx, None, jnp.zeros_like(seed), *wgrads)
 
     op.defvjp(op_fwd, op_bwd)
@@ -641,9 +630,8 @@ def binned_mp_layer(
         jnp.float32
     )
     op = _make_stack_op(act, num_mlp_layers, 1, dt.name, interpret, False)
-    x3 = x.astype(dt).reshape(nb, ab, D)
-    out = op(x3, bin_adj, jnp.zeros((1,), jnp.float32), *weights)
-    return out.reshape(A, D)
+    out = op(x.astype(dt).T, bin_adj, jnp.zeros((1,), jnp.float32), *weights)
+    return out.T
 
 
 def binned_mp_stack(
@@ -689,7 +677,43 @@ def binned_mp_stack(
         )
     else:
         seed = jnp.zeros((1,), jnp.float32)
-    x3 = x.astype(dt).reshape(nb, ab, D)
     flat = tuple(w for lws in weights_layers for w in lws)
-    out = op(x3, bin_adj, seed, *flat)
-    return out.reshape(A, D)
+    out = op(x.astype(dt).T, bin_adj, seed, *flat)
+    return out.T
+
+
+def binned_mp_stack_t(
+    xT,
+    bin_adj,
+    weights_layers,
+    *,
+    act: str = "silu",
+    num_mlp_layers: int = 2,
+    compute_dtype=None,
+    interpret: bool = False,
+    dropout: float = 0.0,
+    drop_seed=None,
+):
+    """Feature-major entry: xT (D, A) in, (D, A) out — NO transposes at
+    the op boundary.  For callers whose whole atom datapath is
+    feature-major (models/gnn.py binned fast path); semantics identical
+    to :func:`binned_mp_stack`."""
+    nb, ab, _ = bin_adj.shape
+    D, A = xT.shape
+    assert A == nb * ab, (A, nb, ab)
+    dt = jnp.dtype(compute_dtype) if compute_dtype is not None else jnp.dtype(
+        jnp.float32
+    )
+    op = _make_stack_op(
+        act, num_mlp_layers, len(weights_layers), dt.name, interpret, True,
+        float(dropout),
+    )
+    if dropout > 0.0:
+        assert drop_seed is not None, "dropout requires a per-step seed"
+        seed = jax.lax.bitcast_convert_type(
+            drop_seed.reshape(1).astype(jnp.int32), jnp.float32
+        )
+    else:
+        seed = jnp.zeros((1,), jnp.float32)
+    flat = tuple(w for lws in weights_layers for w in lws)
+    return op(xT.astype(dt), bin_adj, seed, *flat)

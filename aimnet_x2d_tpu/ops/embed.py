@@ -49,3 +49,34 @@ def embed_concat_onehot(tables, ids, dtype=jnp.bfloat16):
         axis=1,
     )  # (A, ΣV): one 1 per feature block
     return jnp.dot(onehot, blockdiag, preferred_element_type=jnp.float32).astype(dtype)
+
+
+def embed_concat_onehot_t(tables, ids, dtype=jnp.bfloat16):
+    """Feature-major twin of :func:`embed_concat_onehot`: returns (ΣD, A).
+
+    ``blockdiagᵀ (ΣD, ΣV) @ onehotᵀ (ΣV, A)`` — the whole embedding lookup
+    lands directly in the feature-major layout the binned fast path keeps
+    end-to-end (models/gnn.py), so no (A, ΣD) array or transpose exists.
+    In fp32 the one-hot matmul is exactly the gather (sums of exact 0/1
+    products); in bf16 the table values round where bf16 mode rounds them
+    anyway.
+    """
+    Vs = [int(t.shape[0]) for t in tables]
+    Ds = [int(t.shape[1]) for t in tables]
+    D = sum(Ds)
+    rows = []
+    c0 = 0
+    for t, d in zip(tables, Ds):
+        rows.append(jnp.pad(t.astype(dtype), ((0, 0), (c0, D - c0 - d))))
+        c0 += d
+    blockdiag_t = jnp.concatenate(rows, axis=0).T  # (ΣD, ΣV)
+    onehot_t = jnp.concatenate(
+        [
+            (i[None, :] == jnp.arange(v, dtype=i.dtype)[:, None]).astype(dtype)
+            for i, v in zip(ids, Vs)
+        ],
+        axis=0,
+    )  # (ΣV, A): one 1 per feature block
+    return jnp.dot(
+        blockdiag_t, onehot_t, preferred_element_type=jnp.float32
+    ).astype(dtype)
