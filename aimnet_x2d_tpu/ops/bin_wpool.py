@@ -54,8 +54,10 @@ def _pick_group(nb, d, ab, mb, itemsize, bwd, interpret=False):
     if env:
         cap = max(1, int(env))
     else:
-        per_lane = (3 if bwd else 2) * d * itemsize + ab + 8
-        budget = 8 * 2**20
+        # live buffers: x + dx (dt) + gatom f32 in bwd; x + xw in fwd
+        per_lane = (2 * d * itemsize + 4 * d) if bwd else (2 * d * itemsize)
+        per_lane += ab + 8
+        budget = 13 * 2**20  # of the 16 MB scoped-vmem limit
         cap = max(1, int(budget // (per_lane * ab)))
     cap = min(cap, nb, 32)
     for G in range(cap, 0, -1):
