@@ -258,7 +258,7 @@ def _fwd_math(xT, adjg, ws, act, n_blocks, dt, keep=False, drop=None):
     tT = _dot(w_inT, xaT, dt) + b_inT
     h = _act_value(act, tT)
     sT = _dot(w_sT, xaT, dt) + b_sT
-    hs, us, masks = [], [], []
+    hs, us, vs, masks = [], [], [], []
     for i in range(n_blocks):
         w1T, b1T, w2T, b2T = ws[4 + 4 * i : 8 + 4 * i]
         u = _dot(w1T, h, dt) + b1T
@@ -272,18 +272,14 @@ def _fwd_math(xT, adjg, ws, act, n_blocks, dt, keep=False, drop=None):
             v = _apply_dropout(v, rate, m)
             if keep:
                 masks.append(m)  # backward reuses instead of re-hashing
-        if keep and i > 0:
-            # h_0 = act(t) is recomputed in the backward walk (one cheap
-            # VPU act); v_i is recomputed from u_i — only block INPUTS
-            # h_{i>0} and pre-acts u_i are stored, keeping the backward
-            # kernel's VMEM footprint ~2/3 of the save-everything form
-            hs.append(h)
         if keep:
+            hs.append(h)
             us.append(u)
+            vs.append(v)  # post-dropout: d_w2 contracts against this
         h = _dot(w2T, v, dt) + b2T + h
     out = h + sT
     if keep:
-        return out, (xaT, tT, hs, us, masks)
+        return out, (xaT, tT, hs, us, vs, masks)
     return out
 
 
@@ -293,7 +289,7 @@ def _bwd_from_saved(xT, adjg, ws, g, saved, act, n_blocks, dt, drop=None):
     g: (D, G·ab) upstream cotangent (compute dtype).  Returns (dxT fp32,
     per-weight fp32 grads — matrices in their ORIGINAL row-major
     orientation, biases as (D, 1) columns; ``_unprep_grads`` maps back)."""
-    xaT, tT, hs, us, masks = saved
+    xaT, tT, hs, us, vs, masks = saved
     w_inT, _, w_sT, _ = ws[:4]
     D = xT.shape[0]
 
@@ -303,31 +299,20 @@ def _bwd_from_saved(xT, adjg, ws, g, saved, act, n_blocks, dt, drop=None):
     d_bs = jnp.sum(g.astype(jnp.float32), axis=1, keepdims=True)  # (D, 1)
     dxaT32 = _dot_c00(w_sT, g)  # (2D, ab) fp32
 
-    def _h(i):
-        # block input: h_0 = act(t) recomputed (not saved); h_{i>0} saved
-        return _act_value(act, tT) if i == 0 else hs[i - 1]
-
-    def _v(i):
-        # post-act (post-dropout) block hidden, recomputed from u_i
-        v = _act_value(act, us[i])
-        if drop is not None:
-            v = _apply_dropout(v, drop[0], masks[i])
-        return v
-
     dh = g
     grads_blocks = []
     for i in range(n_blocks - 1, -1, -1):
         w1T, _, w2T, _ = ws[4 + 4 * i : 8 + 4 * i]
         # h_{i+1} = (act(h_i w1 + b1) w2 + b2) + h_i
         dw_out = dh  # grad at the w2-matmul output
-        d_w2 = _dot_c11(_v(i), dw_out)  # (D_u, D_h) original orientation
+        d_w2 = _dot_c11(vs[i], dw_out)  # (D_u, D_h) original orientation
         d_b2 = jnp.sum(dw_out.astype(jnp.float32), axis=1, keepdims=True)
         dv = _dot_c00(w2T, dw_out).astype(dt)  # (D_u, ab)
         if drop is not None:
             # dropout is linear: the same mask·scale maps dv̂ → dv
             dv = _apply_dropout(dv, drop[0], masks[i])
         du = dv * _act_grad(act, us[i])
-        d_w1 = _dot_c11(_h(i), du)  # (D_h, D_u) original orientation
+        d_w1 = _dot_c11(hs[i], du)  # (D_h, D_u) original orientation
         d_b1 = jnp.sum(du.astype(jnp.float32), axis=1, keepdims=True)
         dh = (dh.astype(jnp.float32) + _dot_c00(w1T, du)).astype(dt)
         grads_blocks.append((d_w1, d_b1, d_w2, d_b2))
@@ -373,18 +358,19 @@ def _pick_group(nb, ab, D, n_layers, n_blocks, itemsize, bwd, dropout):
     else:
         rows = 8 * D  # x, xa (2D), t/h/u/v/s working set
         if bwd:
-            # saved per layer: xa (2D) + t + h_{i>0} + u_i (v/h_0 recomputed)
-            rows += n_layers * (2 + 2 * n_blocks) * D
+            rows += n_layers * (3 + 3 * n_blocks) * D  # saved intermediates
             rows += 4 * D  # fp32 cotangent accumulators
         per_lane = rows * itemsize + ab  # + int8 adjacency column
         if dropout:
             per_lane += n_layers * n_blocks * D  # keep-masks
-        # the model undercounts Mosaic stack temporaries ~2×; the bwd
-        # budget lands the flagship shape at G=1 — measured EQUAL in step
-        # time to G=2 (the bwd is matmul-width-bound at 512 lanes already)
-        # while G=2 sits at 16.93M scoped vmem > the 16M limit inside the
-        # full train step.  AIMNET_MP_GROUP_BWD overrides for tuning.
-        budget = (4 if bwd else 10) * 2**20
+        # the model undercounts Mosaic stack temporaries ~2×.  The bwd
+        # budget lands the flagship shape at G=4 (measured: 25.9 ms G=2 →
+        # 23.5 ms G=4; G=8 regresses) — legal because backward only runs
+        # inside the train step, whose jit carries the raised scoped-vmem
+        # limit (trainer._tpu_compiler_options); forward also compiles in
+        # default-limit contexts (init/eval), so its budget keeps G at
+        # ~16 MB scoped.  AIMNET_MP_GROUP_FWD/BWD override.
+        budget = (13 if bwd else 10) * 2**20
         G = max(1, int(budget // (per_lane * ab)))
     G = min(G, nb, 16)
     while nb % G:

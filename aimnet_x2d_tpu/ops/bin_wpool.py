@@ -45,19 +45,26 @@ def _dot_c11(a, b):
     )
 
 
+DT = 128  # feature-row tile: the grid also walks d in 128-row blocks
+
+
 def _pick_group(nb, d, ab, mb, itemsize, bwd, interpret=False):
     """Largest VMEM-fitting G with 128-divisible lane windows on BOTH the
     atom side (G·ab) and the molecule side (G·mb) — Mosaic requires block
-    lane dims divisible by 128 (or full-array).  None ⇒ no legal grouping;
-    the caller falls back to the einsum path."""
+    lane dims divisible by 128 (or full-array).  Blocks span at most DT
+    feature rows, so the kernel's scoped-vmem footprint stays small
+    enough to coexist with the MP megakernel's backward (shared scoped
+    budget).  None ⇒ no legal grouping; the caller falls back to the
+    einsum path."""
     env = os.environ.get("AIMNET_WPOOL_GROUP")
     if env:
         cap = max(1, int(env))
     else:
-        # live buffers: x + dx (dt) + gatom f32 in bwd; x + xw in fwd
-        per_lane = (2 * d * itemsize + 4 * d) if bwd else (2 * d * itemsize)
+        rows = min(d, DT)
+        # live buffers: x + xw (+ gatom f32 + dx in bwd)
+        per_lane = (2 * rows * itemsize + (4 + itemsize) * rows) if bwd             else (2 * rows * itemsize)
         per_lane += ab + 8
-        budget = 13 * 2**20  # of the 16 MB scoped-vmem limit
+        budget = 7 * 2**20
         cap = max(1, int(budget // (per_lane * ab)))
     cap = min(cap, nb, 32)
     for G in range(cap, 0, -1):
@@ -88,44 +95,71 @@ def _make_wpool_op(dtype_name, interpret):
         ]
         out_ref[...] = parts[0] if G == 1 else jnp.concatenate(parts, axis=1)
 
-    def bwd_kernel(x_ref, w_ref, pm_ref, g_ref, dx_ref, dw_ref):
-        x = x_ref[...]
-        w32 = w_ref[...].astype(jnp.float32)
-        pm = pm_ref[...]
-        G, mb, ab = pm.shape
-        gout = g_ref[...]  # (D, G*mb) fp32
-        gat = []
-        for g in range(G):
-            gg = jax.lax.slice_in_dim(gout, g * mb, (g + 1) * mb, axis=1)
-            gat.append(
-                jnp.dot(
-                    gg.astype(dt), pm[g].astype(dt),
-                    preferred_element_type=jnp.float32,
+    def make_bwd_kernel(d, r):
+        def bwd_kernel(x_ref, w_ref, pm_ref, g_ref, dx_ref, dw_ref):
+            x = x_ref[...]
+            w32 = w_ref[...].astype(jnp.float32)
+            pm = pm_ref[...]
+            G, mb, ab = pm.shape
+            gout = g_ref[...]  # (r, G*mb) fp32
+            gat = []
+            for g in range(G):
+                gg = jax.lax.slice_in_dim(gout, g * mb, (g + 1) * mb, axis=1)
+                gat.append(
+                    jnp.dot(
+                        gg.astype(dt), pm[g].astype(dt),
+                        preferred_element_type=jnp.float32,
+                    )
                 )
-            )
-        gatom = gat[0] if G == 1 else jnp.concatenate(gat, axis=1)  # (D, G*ab)
-        dx_ref[...] = (gatom * w32).astype(dx_ref.dtype)
-        dw_ref[...] = jnp.sum(
-            gatom * x.astype(jnp.float32), axis=0, keepdims=True
+            gatom = gat[0] if G == 1 else jnp.concatenate(gat, axis=1)
+            dx_ref[...] = (gatom * w32).astype(dx_ref.dtype)
+            # dw accumulates over the feature-tile grid axis (same lane
+            # window revisited for every j; grid iterates j minor-most)
+            prod = gatom * x.astype(jnp.float32)
+            if d % r:
+                # the last row tile reads past the array: those padded
+                # rows carry garbage — zero them before the row-reduction
+                row = (
+                    jax.lax.broadcasted_iota(jnp.int32, prod.shape, 0)
+                    + pl.program_id(1) * r
+                )
+                prod = jnp.where(row < d, prod, 0.0)
+            part = jnp.sum(prod, axis=0, keepdims=True)
+
+            @pl.when(pl.program_id(1) == 0)
+            def _():
+                dw_ref[...] = jnp.zeros_like(dw_ref)
+
+            dw_ref[...] += part
+
+        return bwd_kernel
+
+    def _tile(r, lanes):
+        # 2-d grid (lane window i, feature tile j)
+        return pl.BlockSpec(
+            (r, lanes), lambda i, j: (j, i), memory_space=pltpu.VMEM
         )
 
-    def _lane(r, lanes):
-        return pl.BlockSpec((r, lanes), lambda i: (0, i), memory_space=pltpu.VMEM)
+    def _row0(lanes):
+        return pl.BlockSpec(
+            (1, lanes), lambda i, j: (0, i), memory_space=pltpu.VMEM
+        )
 
     def _pm_spec(G, mb, ab):
         return pl.BlockSpec(
-            (G, mb, ab), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (G, mb, ab), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
         )
 
     def forward(xT, w, pm):
         d, A = xT.shape
         nb, mb, ab = pm.shape
         G = _pick_group(nb, d, ab, mb, dt.itemsize, False, interpret)
+        r = min(d, DT)
         return pl.pallas_call(
             fwd_kernel,
-            grid=(nb // G,),
-            in_specs=[_lane(d, G * ab), _lane(1, G * ab), _pm_spec(G, mb, ab)],
-            out_specs=_lane(d, G * mb),
+            grid=(nb // G, -(-d // r)),
+            in_specs=[_tile(r, G * ab), _row0(G * ab), _pm_spec(G, mb, ab)],
+            out_specs=_tile(r, G * mb),
             out_shape=jax.ShapeDtypeStruct((d, nb * mb), jnp.float32),
             interpret=interpret,
         )(xT, w, pm)
@@ -134,14 +168,15 @@ def _make_wpool_op(dtype_name, interpret):
         d, A = xT.shape
         nb, mb, ab = pm.shape
         G = _pick_group(nb, d, ab, mb, dt.itemsize, True, interpret)
+        r = min(d, DT)
         return pl.pallas_call(
-            bwd_kernel,
-            grid=(nb // G,),
+            make_bwd_kernel(d, r),
+            grid=(nb // G, -(-d // r)),
             in_specs=[
-                _lane(d, G * ab), _lane(1, G * ab), _pm_spec(G, mb, ab),
-                _lane(d, G * mb),
+                _tile(r, G * ab), _row0(G * ab), _pm_spec(G, mb, ab),
+                _tile(r, G * mb),
             ],
-            out_specs=[_lane(d, G * ab), _lane(1, G * ab)],
+            out_specs=[_tile(r, G * ab), _row0(G * ab)],
             out_shape=[
                 jax.ShapeDtypeStruct((d, A), xT.dtype),
                 jax.ShapeDtypeStruct((1, A), jnp.float32),

@@ -134,6 +134,30 @@ def make_loss_fn(model: GNN, config: TrainConfig) -> Callable:
     return loss_fn
 
 
+def _tpu_compiler_options():
+    """Raise the per-kernel scoped-vmem carve-out on TPU: the default
+    16 MB rejects the MP megakernel's backward at its fastest grouping
+    (16.93M scoped) even though v5e has far more physical VMEM.  Harmless
+    where unsupported (cleared on error by the caller)."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": "49152"}
+
+
+def _jit_step(step):
+    import jax
+
+    opts = _tpu_compiler_options()
+    if opts is not None:
+        try:
+            return jax.jit(step, donate_argnums=(0, 1), compiler_options=opts)
+        except TypeError:  # older jax without compiler_options
+            pass
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
 def make_train_step(
     model: GNN,
     config: TrainConfig,
@@ -171,7 +195,7 @@ def make_train_step(
             return params, opt_state, loss_sum / n, n
 
         # donate params/opt_state buffers: the updated pytrees reuse them
-        return jax.jit(step, donate_argnums=(0, 1))
+        return _jit_step(step)
 
     shard_map = jax.shard_map
 
@@ -195,7 +219,7 @@ def make_train_step(
         in_specs=(P(), P(), P(axes), P(), P()),
         out_specs=(P(), P(), P(), P()),
     )
-    return jax.jit(step, donate_argnums=(0, 1))
+    return _jit_step(step)
 
 
 def prefetch_batches(loader, sharding=None, size: int = 2):

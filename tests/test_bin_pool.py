@@ -169,3 +169,45 @@ def test_wpool_kernel_matches_einsum():
     np.testing.assert_allclose(
         np.asarray(gr_ker[1]), np.asarray(gr_ref[1]), rtol=1e-5, atol=1e-5
     )
+
+
+def test_wpool_kernel_multitile_rows():
+    """d > 128 exercises the 2-d grid (feature-row tiles) including the
+    dw accumulation across row tiles and the partial last tile."""
+    import jax
+    import jax.numpy as jnp
+
+    from aimnet_x2d_tpu.ops.bin_wpool import binned_wpool_t
+
+    rng = np.random.default_rng(9)
+    nb, mb, ab, D = 2, 8, 32, 300  # 3 row tiles (128, 128, 44)
+    A = nb * ab
+    x = jnp.asarray(rng.normal(size=(D, A)), jnp.float32)
+    w = jnp.asarray(rng.random(A), jnp.float32)
+    pm = np.zeros((nb, mb, ab), np.int8)
+    for b in range(nb):
+        for a in range(ab):
+            pm[b, rng.integers(0, mb), a] = 1
+    pm = jnp.asarray(pm)
+
+    def ref(x, w):
+        return jnp.einsum(
+            "dba,bma->dbm", (x * w[None]).reshape(D, nb, ab),
+            pm.astype(jnp.float32), preferred_element_type=jnp.float32,
+        ).reshape(D, nb * mb)
+
+    def ker(x, w):
+        return binned_wpool_t(x, w, pm, interpret=True)
+
+    np.testing.assert_allclose(
+        np.asarray(ker(x, w)), np.asarray(ref(x, w)), rtol=1e-6, atol=1e-6
+    )
+    g = jnp.asarray(rng.normal(size=(D, nb * mb)), jnp.float32)
+    gr_ref = jax.grad(lambda x, w: jnp.vdot(ref(x, w), g), argnums=(0, 1))(x, w)
+    gr_ker = jax.grad(lambda x, w: jnp.vdot(ker(x, w), g), argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(
+        np.asarray(gr_ker[0]), np.asarray(gr_ref[0]), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(gr_ker[1]), np.asarray(gr_ref[1]), rtol=1e-5, atol=1e-5
+    )
