@@ -456,6 +456,13 @@ class GNN(nn.Module):
                 pool_mat=batch.pool_mat if binned else None,
                 pre_proj=(k_cs, b_cs) if linear_pool else None,
                 feature_major=t_path and linear_pool,
+                # feature-major: hand the pool the embedding array + the
+                # x_self column block so the fused kernel
+                # (ops/bin_attnpool.py) can recompute x_self in VMEM —
+                # the (x_self_dim, A) array then never reaches HBM and
+                # its XLA producer above is DCE'd in the train step
+                proj_spec=(xT, k_ep[:, :xs], b_ep[:xs]) if t_path else None,
+                act_name=cfg.activation_type,
             )
         elif cfg.pooling_type == "mean":
             if linear_pool:

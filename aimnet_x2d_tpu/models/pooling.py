@@ -191,7 +191,8 @@ class MultiHeadAttentionPooling(nn.Module):
     @nn.compact
     def __call__(
         self, x, atom_mol, atom_mask, num_graphs, *, deterministic=True,
-        pool_mat=None, pre_proj=None, feature_major=False,
+        pool_mat=None, pre_proj=None, feature_major=False, proj_spec=None,
+        act_name=None,
     ):
         """With ``pre_proj=(k_cs, b_cs)``, ``x`` is the PRE-projection atom
         array — given as the LIST of concat parts [x_self, x_other] so the
@@ -273,6 +274,39 @@ class MultiHeadAttentionPooling(nn.Module):
         if pool_mat is not None and self.graph_axis is None:
             if feature_major:
                 assert pre_proj is not None, "feature_major requires pre_proj"
+                if (
+                    proj_spec is not None
+                    and self.dropout_prob == 0
+                    and len(parts) == 2
+                    and act_name in ("silu", "relu", "leakyrelu", "elu", "gelu")
+                ):
+                    from ..ops.bin_attnpool import (
+                        attnpool_kernel_enabled,
+                        binned_attnpool_proj_t,
+                    )
+
+                    mode = attnpool_kernel_enabled()
+                    if mode is not None:
+                        # Fully-fused path (ops/bin_attnpool.py): the
+                        # x_self projection, scores, per-molecule softmax
+                        # and both weighted pools run in ONE kernel — the
+                        # (x_self_dim, A) array never exists in HBM.
+                        # parts[0] (the XLA-computed x_self) goes unused
+                        # here, so its producer is DCE'd in the train
+                        # step.  Temperature/concat folds stay outside
+                        # (differentiable).
+                        embT, k_blk, b_blk = proj_spec
+                        xs_dim = k_blk.shape[1]
+                        res = binned_attnpool_proj_t(
+                            embT, k_blk, b_blk, act_name, parts[1], pool_mat,
+                            score_k[:xs_dim] / temperature,
+                            score_k[xs_dim:] / temperature,
+                            score_b / temperature,
+                            interpret=mode == "interpret",
+                        )
+                        if res is not None:
+                            ps, po, cov, attn = res
+                            return _project([ps, po], cov, parts_t=True), attn
                 attn = binned_attention_softmax_t(scores, pool_mat)
                 # per-part pools: ragged widths (359/153) are SUBLANE dims
                 # in feature-major — no lane padding, and no (512, A)

@@ -360,7 +360,12 @@ def check_data_consistency(args) -> None:
                         (args.inference_hdf5, "inference HDF5")):
             if p and not os.path.exists(p):
                 raise ValueError(f"{what} not found: {p}")
-        if not os.path.exists(args.model_save_path):
+        # save_artifact appends .npz to extension-less paths (numpy savez);
+        # accept both spellings like checkpoint._resolve does
+        if not (
+            os.path.exists(args.model_save_path)
+            or os.path.exists(args.model_save_path + ".npz")
+        ):
             raise ValueError(f"model artifact not found: {args.model_save_path}")
         return
     if args.data_path:
