@@ -284,7 +284,7 @@ class GNN(nn.Module):
         # layout copies exist.  (Remat is moot here: the stack's VJP saves
         # only the stack input and recomputes in VMEM.)
         if use_stack:
-            from ..ops.bin_mp import binned_mp_stack_t
+            from ..ops.bin_mp import binned_mp_stack_t, stack_proj_enabled
             ws_layers = []
             for layer_idx in range(cfg.num_message_passing_layers):
                 ws_layers.append(
@@ -315,8 +315,12 @@ class GNN(nn.Module):
                 drop_seed = jax.random.randint(
                     self.make_rng("dropout"), (1,), -(2**31), 2**31 - 1, jnp.int32
                 )
+            # With the projection fold, the kernel takes embT and computes
+            # the pre-MP x_other in VMEM — the (D, A) projection above is
+            # then unused here and DCE'd in the train step
+            fold_proj = stack_proj_enabled()
             x_other = binned_mp_stack_t(
-                x_other,
+                xT if fold_proj else x_other,
                 batch.bin_adj,
                 tuple(ws_layers),
                 act=cfg.activation_type,
@@ -325,6 +329,7 @@ class GNN(nn.Module):
                 interpret=mk_mode == "interpret",
                 dropout=drop_rate,
                 drop_seed=drop_seed,
+                proj_weights=(k_ep[:, xs:], b_ep[xs:]) if fold_proj else None,
             )
         for layer_idx in range(0 if use_stack else cfg.num_message_passing_layers):
             if cfg.use_partial_charges:

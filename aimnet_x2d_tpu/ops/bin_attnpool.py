@@ -89,13 +89,17 @@ PROJ_CHUNK = 128  # row chunk for the in-kernel projection: bounds the fp32
 #                  default-scoped-vmem contexts (init/eval jits)
 
 
-def _pick_group(nb, mb, ab, interpret):
+def _pick_group(nb, mb, ab, interpret, bwd=False):
     """Smallest G with nb % G == 0 and 128-divisible lane windows on both
-    the atom (G·ab) and molecule (G·mb) sides — smallest keeps VMEM low;
+    the atom (G·ab) and molecule (G·mb) sides — smallest keeps VMEM low
+    (the forward must fit default-scoped-vmem contexts like init/eval);
     issue overhead is amortized by the full-width projection/score
-    matmuls.  ``AIMNET_ATTNPOOL_GROUP`` overrides.  None ⇒ no legal
+    matmuls.  ``AIMNET_ATTNPOOL_GROUP`` (or the per-direction
+    ``AIMNET_ATTNPOOL_GROUP_FWD`` / ``_BWD``) overrides.  None ⇒ no legal
     grouping (caller falls back to the unfused path)."""
-    env = os.environ.get("AIMNET_ATTNPOOL_GROUP")
+    env = os.environ.get(
+        "AIMNET_ATTNPOOL_GROUP_BWD" if bwd else "AIMNET_ATTNPOOL_GROUP_FWD"
+    ) or os.environ.get("AIMNET_ATTNPOOL_GROUP")
     if env:
         g = int(env)
         return g if nb % g == 0 else None
@@ -314,7 +318,7 @@ def _make_attnpool_op(act_name, dtype_name, interpret):
         ds = kb.shape[1]
         h = ks.shape[1]
         nb, mb, ab = pm.shape
-        G = _pick_group(nb, mb, ab, interpret)
+        G = _pick_group(nb, mb, ab, interpret, bwd=True)
         kb, bb, ks, ko, sb = _cast_weights(kb, bb, ks, ko, sb)
         weight_specs = [_const(x.shape) for x in (kb, bb, ks, ko, sb)]
         return pl.pallas_call(
@@ -379,7 +383,8 @@ def binned_attnpool_proj_t(
     B = nb·mb, or ``None`` when no legal lane-window grouping exists.
     """
     nb, mb, ab = pool_mat.shape
-    if _pick_group(nb, mb, ab, interpret) is None:
+    if (_pick_group(nb, mb, ab, interpret) is None
+            or _pick_group(nb, mb, ab, interpret, bwd=True) is None):
         return None
     dt = jnp.dtype(embT.dtype)
     op = _make_attnpool_op(act_name, dt.name, interpret)

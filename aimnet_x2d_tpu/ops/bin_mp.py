@@ -344,7 +344,15 @@ def _const_spec(shape):
     )
 
 
-def _pick_group(nb, ab, D, n_layers, n_blocks, itemsize, bwd, dropout):
+def stack_proj_enabled() -> bool:
+    """Fold the x_other embedding-projection into the MP stack kernel
+    (models/gnn.py feature-major path): default ON wherever the megakernel
+    itself runs; ``AIMNET_MP_PROJ=0`` disables (parity tests toggle it)."""
+    return os.environ.get("AIMNET_MP_PROJ", "").lower() not in ("0", "off", "false")
+
+
+def _pick_group(nb, ab, D, n_layers, n_blocks, itemsize, bwd, dropout,
+                extra_rows=0):
     """Bins per grid step.  Packing G bins along the lane axis turns the
     per-bin weight matmuls (n = ab lanes) into (n = G·ab) ones — per-issue
     MXU overhead dominates at n = 256, and grouping amortizes it — while
@@ -356,7 +364,7 @@ def _pick_group(nb, ab, D, n_layers, n_blocks, itemsize, bwd, dropout):
     if env:
         G = max(1, int(env))
     else:
-        rows = 8 * D  # x, xa (2D), t/h/u/v/s working set
+        rows = 8 * D + extra_rows  # x, xa (2D), t/h/u/v/s working set
         if bwd:
             rows += n_layers * (3 + 3 * n_blocks) * D  # saved intermediates
             rows += 4 * D  # fp32 cotangent accumulators
@@ -380,7 +388,7 @@ def _pick_group(nb, ab, D, n_layers, n_blocks, itemsize, bwd, dropout):
 
 @functools.lru_cache(maxsize=32)
 def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
-                   dropout=0.0):
+                   dropout=0.0, proj=False):
     """Build the custom-VJP fused op for ``n_layers`` stacked shell-conv
     layers (static configuration).
 
@@ -396,9 +404,21 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
     n_w = 4 + 4 * n_blocks  # PREPPED weights per layer (in/skip kernels fused)
     n_orig = 6 + 4 * n_blocks  # caller-facing weights per layer
     n_tot = n_w * n_layers
+    n_extra = 2 if proj else 0  # in-kernel x_other projection (kb, bb)
 
     def _layer_ws(rest, l):
-        return tuple(r[...] for r in rest[l * n_w : (l + 1) * n_w])
+        return tuple(
+            r[...] for r in rest[n_extra + l * n_w : n_extra + (l + 1) * n_w]
+        )
+
+    def _proj_in(rest, x):
+        """With ``proj``, x is the embedding array embT (E, G·ab); compute
+        x₀ = act((kbᵀ @ emb).astype(dt) + bb) — same op sequence as
+        models/gnn.py::_proj_rows_t.  Returns (t₀, x₀)."""
+        kbp = rest[0][...]  # (E, D) compute dtype
+        bbp = rest[1][...]  # (D, 1)
+        t0 = _dot_c00(kbp, x).astype(dt) + bbp
+        return t0, _act_value(act, t0)
 
     def _drop_ctx(seed_ref, l, lanes):
         # static (layer, block) tag base + the grid step's global lane
@@ -414,9 +434,11 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
     def fwd_kernel(*refs):
         seed_ref = refs[0] if dropout else None
         x_ref, adj_ref, *rest = refs[1 if dropout else 0 :]
-        out_ref = rest[n_tot]
+        out_ref = rest[n_extra + n_tot]
         adj = adj_ref[...]  # (G, ab, ab) block-diagonal group
-        x = x_ref[...]  # (D, G*ab) feature-major lane window
+        x = x_ref[...]  # (D, G*ab) feature-major lane window (embT if proj)
+        if proj:
+            _, x = _proj_in(rest, x)
         for l in range(n_layers):
             y = _fwd_math(
                 x, adj, _layer_ws(rest, l), act, n_blocks, dt,
@@ -428,13 +450,17 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
     def bwd_kernel(*refs):
         seed_ref = refs[0] if dropout else None
         x_ref, adj_ref, *rest = refs[1 if dropout else 0 :]
-        g_ref = rest[n_tot]
-        dx_ref = rest[n_tot + 1]
-        grad_refs = rest[n_tot + 2 :]
+        g_ref = rest[n_extra + n_tot]
+        dx_ref = rest[n_extra + n_tot + 1]
+        grad_refs = rest[n_extra + n_tot + 2 :]
         adj = adj_ref[...]
         # Recompute pass (stays in VMEM), keeping per-layer inputs and
         # intermediates so the backward walk costs no extra matmuls.
         x = x_ref[...]
+        emb = t0 = None
+        if proj:
+            emb = x
+            t0, x = _proj_in(rest, x)
         xs, saveds = [], []
         for l in range(n_layers):
             y, saved = _fwd_math(
@@ -454,8 +480,22 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
             )
             g32 = dx32 + g32 if residual else dx32
             wgrads_layers[l] = wgrads
-        dx_ref[...] = g32.astype(dx_ref.dtype)
-        flat_wgrads = [wg for lws in wgrads_layers for wg in lws]
+        extra_wgrads = []
+        if proj:
+            # through x₀ = act(kbᵀ emb + bb): demb, d_kb, d_bb in-kernel
+            # (fp32-compare act grads like the block walk)
+            dt032 = g32 * _act_grad(act, t0).astype(jnp.float32)
+            dt0c = dt032.astype(dt)
+            dx_ref[...] = _dot(rest[0][...], dt0c, dx_ref.dtype)  # (E, G·ab)
+            extra_wgrads = [
+                _dot_c11(emb, dt0c),  # d_kb (E, D) fp32, original orientation
+                jnp.sum(dt032, axis=1, keepdims=True),  # d_bb (D, 1)
+            ]
+        else:
+            dx_ref[...] = g32.astype(dx_ref.dtype)
+        flat_wgrads = extra_wgrads + [
+            wg for lws in wgrads_layers for wg in lws
+        ]
 
         @pl.when(pl.program_id(0) == 0)
         def _():
@@ -527,12 +567,23 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
             (G, ab, ab), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         )
 
+    def _prep_all(ws_f32):
+        if not proj:
+            return _prep(ws_f32), 0, ws_f32[0].shape[1]
+        kb, bb = ws_f32[:2]
+        ws = (
+            kb.astype(dt),
+            bb.astype(dt).reshape(-1, 1),
+        ) + _prep(ws_f32[2:])
+        return ws, kb.shape[0], kb.shape[1]
+
     def forward(xT, adj, seed, *ws_f32):
-        d, A = xT.shape
+        d_in, A = xT.shape
         nb, ab, _ = adj.shape
-        ws = _prep(ws_f32)
+        ws, e_rows, d = _prep_all(ws_f32)
         seed_specs, seed_vals = _seed_args(seed)
-        G = _pick_group(nb, ab, d, n_layers, n_blocks, dt.itemsize, False, dropout)
+        G = _pick_group(nb, ab, d, n_layers, n_blocks, dt.itemsize, False,
+                        dropout, extra_rows=e_rows)
         flops = 2 * nb * ab * (
             n_layers * ab * d + sum(w.size for w in ws if w.shape[1] > 1)
         )
@@ -541,7 +592,7 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
             grid=(nb // G,),
             in_specs=[
                 *seed_specs,
-                _lane_spec(d, G * ab),
+                _lane_spec(d_in, G * ab),
                 _adj_spec(G, ab),
                 *[_const_spec(w.shape) for w in ws],
             ],
@@ -556,12 +607,23 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
         )(*seed_vals, xT, adj, *ws)
 
     def backward_call(xT, adj, seed, ws_f32, gT):
-        d, A = xT.shape
+        d_in, A = xT.shape
         nb, ab, _ = adj.shape
-        ws = _prep(ws_f32)
+        ws, e_rows, d = _prep_all(ws_f32)
         seed_specs, seed_vals = _seed_args(seed)
-        G = _pick_group(nb, ab, d, n_layers, n_blocks, dt.itemsize, True, dropout)
-        wg_shapes = [jax.ShapeDtypeStruct(_grad_shape(w), jnp.float32) for w in ws]
+        G = _pick_group(nb, ab, d, n_layers, n_blocks, dt.itemsize, True,
+                        dropout, extra_rows=e_rows + (d if proj else 0))
+        # weight-grad outputs: the in-kernel projection grads (original
+        # orientation already) come first, then the prepped layer grads
+        wg_shapes = [
+            jax.ShapeDtypeStruct(_grad_shape(w), jnp.float32)
+            for w in ws[n_extra:]
+        ]
+        if proj:
+            wg_shapes = [
+                jax.ShapeDtypeStruct(ws[0].shape, jnp.float32),  # d_kb (E, D)
+                jax.ShapeDtypeStruct((d, 1), jnp.float32),  # d_bb
+            ] + wg_shapes
         flops = 3 * 2 * nb * ab * (
             n_layers * ab * d + sum(w.size for w in ws if w.shape[1] > 1)
         )
@@ -570,17 +632,17 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
             grid=(nb // G,),
             in_specs=[
                 *seed_specs,
-                _lane_spec(d, G * ab),
+                _lane_spec(d_in, G * ab),
                 _adj_spec(G, ab),
                 *[_const_spec(w.shape) for w in ws],
                 _lane_spec(d, G * ab),
             ],
             out_specs=[
-                _lane_spec(d, G * ab),
+                _lane_spec(d_in, G * ab),
                 *[_const_spec(sh.shape) for sh in wg_shapes],
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((d, A), xT.dtype),
+                jax.ShapeDtypeStruct((d_in, A), xT.dtype),
                 *wg_shapes,
             ],
             cost_estimate=pl.CostEstimate(
@@ -590,6 +652,11 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
             ),
             interpret=interpret,
         )(*seed_vals, xT, adj, *ws, gT)
+        if proj:
+            dkb, dbb = outs[1], outs[2]
+            return outs[0], [
+                dkb, dbb.reshape(ws_f32[1].shape),
+            ] + _unprep_grads(ws_f32[2:], outs[3:])
         return outs[0], _unprep_grads(ws_f32, outs[1:])
 
     # ``seed`` is a traced (1,) float32 holding uint32 bits (bitcast by the
@@ -700,11 +767,19 @@ def binned_mp_stack_t(
     interpret: bool = False,
     dropout: float = 0.0,
     drop_seed=None,
+    proj_weights=None,
 ):
     """Feature-major entry: xT (D, A) in, (D, A) out — NO transposes at
     the op boundary.  For callers whose whole atom datapath is
     feature-major (models/gnn.py binned fast path); semantics identical
-    to :func:`binned_mp_stack`."""
+    to :func:`binned_mp_stack`.
+
+    With ``proj_weights=(kb (E, D), bb (D,))`` (fp32 masters), ``xT`` is
+    instead the CONCAT EMBEDDING array embT (E, A) and the kernel computes
+    the x_other projection x₀ = act(kbᵀ emb + bb) in VMEM — the (D, A)
+    pre-MP array never exists in HBM, and the backward emits
+    demb/d_kb/d_bb directly (reference projection+split:
+    src/models/gnn.py:224-231)."""
     nb, ab, _ = bin_adj.shape
     D, A = xT.shape
     assert A == nb * ab, (A, nb, ab)
@@ -713,7 +788,7 @@ def binned_mp_stack_t(
     )
     op = _make_stack_op(
         act, num_mlp_layers, len(weights_layers), dt.name, interpret, True,
-        float(dropout),
+        float(dropout), proj=proj_weights is not None,
     )
     if dropout > 0.0:
         assert drop_seed is not None, "dropout requires a per-step seed"
@@ -723,4 +798,7 @@ def binned_mp_stack_t(
     else:
         seed = jnp.zeros((1,), jnp.float32)
     flat = tuple(w for lws in weights_layers for w in lws)
+    if proj_weights is not None:
+        kb, bb = proj_weights
+        return op(xT.astype(dt), bin_adj, seed, kb, bb, *flat)
     return op(xT.astype(dt), bin_adj, seed, *flat)

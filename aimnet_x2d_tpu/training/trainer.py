@@ -19,6 +19,7 @@ TPU-native structure:
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
@@ -143,7 +144,8 @@ def _tpu_compiler_options():
 
     if jax.default_backend() != "tpu":
         return None
-    return {"xla_tpu_scoped_vmem_limit_kib": "49152"}
+    kib = os.environ.get("AIMNET_SCOPED_VMEM_KIB", "49152")
+    return {"xla_tpu_scoped_vmem_limit_kib": kib}
 
 
 def _jit_step(step):

@@ -232,3 +232,35 @@ def test_dropout_model_train_mode(binned_batch):
         assert not np.array_equal(a, c)
     finally:
         os.environ.pop("AIMNET_MP_MEGAKERNEL", None)
+
+
+def test_proj_fold_equality(binned_batch):
+    """The in-kernel x_other projection (AIMNET_MP_PROJ, default on) must
+    match the XLA-projection + stack path exactly: values and all grads."""
+    cfg = _cfg()
+    model = GNN(cfg)
+    os.environ["AIMNET_MP_MEGAKERNEL"] = "interpret"
+    os.environ["AIMNET_MP_PROJ"] = "0"
+    try:
+        params = model.init(jax.random.PRNGKey(0), binned_batch)
+
+        def fwd(p):
+            out = model.apply(p, binned_batch)
+            mask = binned_batch.graph_mask
+            return jnp.sum(
+                jnp.where(mask[:, None], out.predictions.astype(jnp.float32), 0.0)
+                ** 2
+            )
+
+        ref = (fwd(params), jax.grad(fwd)(params))
+        os.environ["AIMNET_MP_PROJ"] = "1"
+        got = (fwd(params), jax.grad(fwd)(params))
+    finally:
+        os.environ.pop("AIMNET_MP_PROJ", None)
+        os.environ.pop("AIMNET_MP_MEGAKERNEL", None)
+    np.testing.assert_allclose(float(got[0]), float(ref[0]), rtol=1e-5)
+    fr, _ = jax.flatten_util.ravel_pytree(ref[1])
+    fg, _ = jax.flatten_util.ravel_pytree(got[1])
+    fr, fg = np.asarray(fr), np.asarray(fg)
+    scale = np.maximum(np.abs(fr).max(), 1e-6)
+    np.testing.assert_allclose(fg / scale, fr / scale, atol=1e-4)
