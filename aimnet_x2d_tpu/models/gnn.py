@@ -205,6 +205,17 @@ class GNN(nn.Module):
                 tables, fields, dtype=cdt if cdt is not None else jnp.float32
             )
             x = None
+            # embedding fold (ops/embed.py::blockdiag_table_t): the fused
+            # kernels can take the raw code rows + fp32 block-diag table
+            # and run the one-hot matmul in VMEM — when both kernels take
+            # it, xT's producer above is DCE'd in the train step
+            from ..ops.embed import blockdiag_table_t
+
+            embed_spec = (
+                jnp.stack([f.astype(jnp.int32) for f in fields], axis=0),
+                blockdiag_table_t(tables),
+                tuple(int(t.shape[0]) for t in tables),
+            )
         elif cdt is not None:
             # one block-diagonal MXU matmul instead of 4 gathers (+ their
             # scatter backwards); bf16-exact for the 0/1 one-hots.  Pure
@@ -317,8 +328,13 @@ class GNN(nn.Module):
                 )
             # With the projection fold, the kernel takes embT and computes
             # the pre-MP x_other in VMEM — the (D, A) projection above is
-            # then unused here and DCE'd in the train step
+            # then unused here and DCE'd in the train step.  With the
+            # embedding fold on top, it takes the raw code rows and even
+            # embT's producer is DCE'd.
+            from ..ops.bin_attnpool import embed_fold_enabled
+
             fold_proj = stack_proj_enabled()
+            fold_embed = fold_proj and embed_fold_enabled()
             x_other = binned_mp_stack_t(
                 xT if fold_proj else x_other,
                 batch.bin_adj,
@@ -330,6 +346,7 @@ class GNN(nn.Module):
                 dropout=drop_rate,
                 drop_seed=drop_seed,
                 proj_weights=(k_ep[:, xs:], b_ep[xs:]) if fold_proj else None,
+                embed_spec=embed_spec if fold_embed else None,
             )
         for layer_idx in range(0 if use_stack else cfg.num_message_passing_layers):
             if cfg.use_partial_charges:
@@ -468,6 +485,7 @@ class GNN(nn.Module):
                 # its XLA producer above is DCE'd in the train step
                 proj_spec=(xT, k_ep[:, :xs], b_ep[:xs]) if t_path else None,
                 act_name=cfg.activation_type,
+                embed_spec=embed_spec if t_path else None,
             )
         elif cfg.pooling_type == "mean":
             if linear_pool:

@@ -192,7 +192,7 @@ class MultiHeadAttentionPooling(nn.Module):
     def __call__(
         self, x, atom_mol, atom_mask, num_graphs, *, deterministic=True,
         pool_mat=None, pre_proj=None, feature_major=False, proj_spec=None,
-        act_name=None,
+        act_name=None, embed_spec=None,
     ):
         """With ``pre_proj=(k_cs, b_cs)``, ``x`` is the PRE-projection atom
         array — given as the LIST of concat parts [x_self, x_other] so the
@@ -283,6 +283,7 @@ class MultiHeadAttentionPooling(nn.Module):
                     from ..ops.bin_attnpool import (
                         attnpool_kernel_enabled,
                         binned_attnpool_proj_t,
+                        embed_fold_enabled,
                     )
 
                     mode = attnpool_kernel_enabled()
@@ -303,6 +304,9 @@ class MultiHeadAttentionPooling(nn.Module):
                             score_k[xs_dim:] / temperature,
                             score_b / temperature,
                             interpret=mode == "interpret",
+                            embed_spec=(
+                                embed_spec if embed_fold_enabled() else None
+                            ),
                         )
                         if res is not None:
                             ps, po, cov, attn = res

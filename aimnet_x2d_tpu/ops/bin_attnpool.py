@@ -51,6 +51,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .bin_mp import _act_grad, _act_value
+from .embed import onehot_rows
+
+
+def embed_fold_enabled() -> bool:
+    """Fold the embedding one-hot matmul into the fused kernels.
+
+    Default OFF: measured at the flagship shape (v5e, 32k molecules) the
+    fold REGRESSES the train step 50.7 → 56.1 ms — the one-hot build +
+    (ΣV→E) matmul reruns per grid step at four sites (two kernels × fwd +
+    bwd-recompute), which costs more than the ~1.3 GB/step of embedding
+    HBM traffic it removes.  Kept validated (parity tests toggle it) as
+    an ``AIMNET_EMBED_FOLD=1`` option for shapes where HBM is scarcer."""
+    return os.environ.get("AIMNET_EMBED_FOLD", "").lower() in (
+        "1", "on", "true",
+    )
 
 
 def attnpool_kernel_enabled() -> str | None:
@@ -146,24 +161,37 @@ def _softmax_bin(s_g, pm_g):
 
 
 @functools.lru_cache(maxsize=16)
-def _make_attnpool_op(act_name, dtype_name, interpret):
+def _make_attnpool_op(act_name, dtype_name, interpret, vocab_sizes=None):
+    """``vocab_sizes=None``: first operand is the materialized embT (E, A).
+    With a vocab tuple, it is the stacked code rows (F, A) int32 and the
+    weights gain a leading block-diagonal table bd (E, ΣV): the embedding
+    one-hot matmul runs in-kernel (ops/embed.py semantics) and the backward
+    emits d_bd instead of a (E, A) demb array — the embedding array never
+    exists in HBM in either direction."""
     dt = jnp.dtype(dtype_name)
+    n_bd = 1 if vocab_sizes else 0
 
-    def _common_fwd(emb_ref, xo_ref, pm_ref, kb_ref, bb_ref, ks_ref, ko_ref, sb_ref):
-        emb = emb_ref[...]  # (E, G·ab) dt
+    def _common_fwd(emb_ref, xo_ref, pm_ref, ws):
         xo = xo_ref[...]  # (Do, G·ab) dt
         pm = pm_ref[...]  # (G, mb, ab) int8
+        oh = None
+        if vocab_sizes:
+            oh = onehot_rows(emb_ref[...], vocab_sizes, dt)  # (ΣV, G·ab)
+            emb = _f32dot(ws[0][...], oh).astype(dt)  # (E, G·ab)
+            kb_ref, bb_ref, ks_ref, ko_ref, sb_ref = ws[1:]
+        else:
+            emb = emb_ref[...]  # (E, G·ab) dt
+            kb_ref, bb_ref, ks_ref, ko_ref, sb_ref = ws
         t, v = _proj_act(kb_ref[...], bb_ref[...], emb, act_name, dt)
         s = sb_ref[...] + _dot_c00(ks_ref[...], v) + _dot_c00(ko_ref[...], xo)
-        return emb, xo, pm, t, v, s
+        return emb, oh, xo, pm, t, v, s
 
     def fwd_kernel(
-        emb_ref, xo_ref, pm_ref, kb_ref, bb_ref, ks_ref, ko_ref, sb_ref,
-        ps_ref, po_ref, cov_ref, attn_ref,
+        emb_ref, xo_ref, pm_ref, *rest,
     ):
-        _, xo, pm, _, v, s = _common_fwd(
-            emb_ref, xo_ref, pm_ref, kb_ref, bb_ref, ks_ref, ko_ref, sb_ref
-        )
+        ws = rest[: 5 + n_bd]
+        ps_ref, po_ref, cov_ref, attn_ref = rest[5 + n_bd :]
+        _, _, xo, pm, _, v, s = _common_fwd(emb_ref, xo_ref, pm_ref, ws)
         G, mb, ab = pm.shape
         ps_parts, po_parts, cov_parts, attn_parts = [], [], [], []
         for g in range(G):
@@ -184,14 +212,20 @@ def _make_attnpool_op(act_name, dtype_name, interpret):
         cov_ref[...] = cat(cov_parts)
         attn_ref[...] = cat(attn_parts)
 
-    def bwd_kernel(
-        emb_ref, xo_ref, pm_ref, kb_ref, bb_ref, ks_ref, ko_ref, sb_ref,
-        gps_ref, gpo_ref, gcov_ref,
-        demb_ref, dxo_ref, dkb_ref, dbb_ref, dks_ref, dko_ref, dsb_ref,
-    ):
-        emb, xo, pm, t, v, s = _common_fwd(
-            emb_ref, xo_ref, pm_ref, kb_ref, bb_ref, ks_ref, ko_ref, sb_ref
-        )
+    def bwd_kernel(*refs):
+        emb_ref, xo_ref, pm_ref = refs[:3]
+        ws = refs[3 : 8 + n_bd]
+        gps_ref, gpo_ref, gcov_ref = refs[8 + n_bd : 11 + n_bd]
+        if vocab_sizes:
+            (dxo_ref, dbd_ref, dkb_ref, dbb_ref, dks_ref, dko_ref,
+             dsb_ref) = refs[11 + n_bd :]
+            kb_ref = ws[1]
+        else:
+            (demb_ref, dxo_ref, dkb_ref, dbb_ref, dks_ref, dko_ref,
+             dsb_ref) = refs[11 + n_bd :]
+            kb_ref = ws[0]
+        emb, oh, xo, pm, t, v, s = _common_fwd(emb_ref, xo_ref, pm_ref, ws)
+        ks_ref, ko_ref = ws[2 + n_bd], ws[3 + n_bd]
         G, mb, ab = pm.shape
         H = s.shape[0]
         gps = gps_ref[...]  # (Ds, G·mb) fp32
@@ -241,18 +275,29 @@ def _make_attnpool_op(act_name, dtype_name, interpret):
         # through the activation: same fp32-compare grads as ops/bin_mp.py
         dt32 = dv32 * _act_grad(act_name, t).astype(jnp.float32)
         dtc = dt32.astype(dt)  # (Ds, G·ab)
-        demb_ref[...] = _f32dot(kb_ref[...], dtc).astype(demb_ref.dtype)
         d_kb = _dot_c11(emb, dtc)  # (E, Ds) fp32
         d_bb = jnp.sum(dt32, axis=1, keepdims=True)  # (Ds, 1)
+        if vocab_sizes:
+            # demb never leaves VMEM: its table cotangent accumulates here
+            # (compute-dtype round at the emb boundary, like the unfused
+            # path's cast vjp)
+            dembc = _f32dot(kb_ref[...], dtc).astype(dt)  # (E, G·ab)
+            d_bd = _dot_c11(dembc, oh)  # (E, ΣV) fp32
+        else:
+            demb_ref[...] = _f32dot(kb_ref[...], dtc).astype(demb_ref.dtype)
 
         @pl.when(pl.program_id(0) == 0)
         def _():
+            if vocab_sizes:
+                dbd_ref[...] = jnp.zeros_like(dbd_ref)
             dkb_ref[...] = jnp.zeros_like(dkb_ref)
             dbb_ref[...] = jnp.zeros_like(dbb_ref)
             dks_ref[...] = jnp.zeros_like(dks_ref)
             dko_ref[...] = jnp.zeros_like(dko_ref)
             dsb_ref[...] = jnp.zeros_like(dsb_ref)
 
+        if vocab_sizes:
+            dbd_ref[...] += d_bd
         dkb_ref[...] += d_kb
         dbb_ref[...] += d_bb
         dks_ref[...] += d_ks
@@ -269,13 +314,18 @@ def _make_attnpool_op(act_name, dtype_name, interpret):
         nd = len(shape)
         return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=pltpu.VMEM)
 
-    def _cast_weights(kb, bb, ks, ko, sb):
+    def _cast_weights(ws_f32):
         # fp32 parameters cross the custom_vjp boundary; the compute-dtype
         # casts live here in the traced prelude (XLA folds them into the
         # weight fetch) so weight cotangents stay fp32 — same convention
         # as ops/bin_mp.py.  sb stays fp32 (the unfused path accumulates
         # scores in fp32 from a fp32 bias).
-        return (
+        pre = ()
+        if vocab_sizes:
+            pre = (ws_f32[0].astype(dt),)  # block-diag table bd (E, ΣV)
+            ws_f32 = ws_f32[1:]
+        kb, bb, ks, ko, sb = ws_f32
+        return pre + (
             kb.astype(dt),
             bb.astype(dt).reshape(-1, 1),
             ks.astype(dt),
@@ -283,20 +333,22 @@ def _make_attnpool_op(act_name, dtype_name, interpret):
             sb.astype(jnp.float32).reshape(-1, 1),
         )
 
-    def forward(emb, xo, pm, kb, bb, ks, ko, sb):
-        e, A = emb.shape
-        do = xo.shape[0]
-        ds = kb.shape[1]
-        h = ks.shape[1]
+    def _dims(emb, xo, ws_f32):
+        kb = ws_f32[n_bd]
+        ks = ws_f32[2 + n_bd]
+        return emb.shape[0], emb.shape[1], xo.shape[0], kb.shape[1], ks.shape[1]
+
+    def forward(emb, xo, pm, *ws_f32):
+        e_in, A, do, ds, h = _dims(emb, xo, ws_f32)
         nb, mb, ab = pm.shape
         G = _pick_group(nb, mb, ab, interpret)
-        kb, bb, ks, ko, sb = _cast_weights(kb, bb, ks, ko, sb)
-        weight_specs = [_const(x.shape) for x in (kb, bb, ks, ko, sb)]
+        ws = _cast_weights(ws_f32)
+        weight_specs = [_const(x.shape) for x in ws]
         return pl.pallas_call(
             fwd_kernel,
             grid=(nb // G,),
             in_specs=[
-                _lanes(e, G * ab), _lanes(do, G * ab), _pm_spec(G, mb, ab),
+                _lanes(e_in, G * ab), _lanes(do, G * ab), _pm_spec(G, mb, ab),
                 *weight_specs,
             ],
             out_specs=[
@@ -310,58 +362,72 @@ def _make_attnpool_op(act_name, dtype_name, interpret):
                 jax.ShapeDtypeStruct((h, A), jnp.float32),
             ],
             interpret=interpret,
-        )(emb, xo, pm, kb, bb, ks, ko, sb)
+        )(emb, xo, pm, *ws)
 
-    def backward_call(emb, xo, pm, kb, bb, ks, ko, sb, gps, gpo, gcov):
-        e, A = emb.shape
-        do = xo.shape[0]
-        ds = kb.shape[1]
-        h = ks.shape[1]
+    def backward_call(emb, xo, pm, ws_f32, gps, gpo, gcov):
+        e_in, A, do, ds, h = _dims(emb, xo, ws_f32)
         nb, mb, ab = pm.shape
         G = _pick_group(nb, mb, ab, interpret, bwd=True)
-        kb, bb, ks, ko, sb = _cast_weights(kb, bb, ks, ko, sb)
-        weight_specs = [_const(x.shape) for x in (kb, bb, ks, ko, sb)]
-        return pl.pallas_call(
+        ws = _cast_weights(ws_f32)
+        weight_specs = [_const(x.shape) for x in ws]
+        kb_shape = ws[n_bd].shape
+        if vocab_sizes:
+            # codes get no cotangent; d_bd replaces the (E, A) demb output
+            dx_specs = [_lanes(do, G * ab), _const(ws[0].shape)]
+            dx_shapes = [
+                jax.ShapeDtypeStruct((do, A), xo.dtype),
+                jax.ShapeDtypeStruct(ws[0].shape, jnp.float32),
+            ]
+        else:
+            dx_specs = [_lanes(e_in, G * ab), _lanes(do, G * ab)]
+            dx_shapes = [
+                jax.ShapeDtypeStruct((e_in, A), emb.dtype),
+                jax.ShapeDtypeStruct((do, A), xo.dtype),
+            ]
+        outs = pl.pallas_call(
             bwd_kernel,
             grid=(nb // G,),
             in_specs=[
-                _lanes(e, G * ab), _lanes(do, G * ab), _pm_spec(G, mb, ab),
+                _lanes(e_in, G * ab), _lanes(do, G * ab), _pm_spec(G, mb, ab),
                 *weight_specs,
                 _lanes(ds, G * mb), _lanes(do, G * mb), _lanes(1, G * mb),
             ],
             out_specs=[
-                _lanes(e, G * ab), _lanes(do, G * ab),
-                _const(kb.shape), _const((ds, 1)),
-                _const(ks.shape), _const(ko.shape), _const((h, 1)),
+                *dx_specs,
+                _const(kb_shape), _const((ds, 1)),
+                _const(ws[2 + n_bd].shape), _const(ws[3 + n_bd].shape),
+                _const((h, 1)),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((e, A), emb.dtype),
-                jax.ShapeDtypeStruct((do, A), xo.dtype),
-                jax.ShapeDtypeStruct(kb.shape, jnp.float32),
+                *dx_shapes,
+                jax.ShapeDtypeStruct(kb_shape, jnp.float32),
                 jax.ShapeDtypeStruct((ds, 1), jnp.float32),
-                jax.ShapeDtypeStruct(ks.shape, jnp.float32),
-                jax.ShapeDtypeStruct(ko.shape, jnp.float32),
+                jax.ShapeDtypeStruct(ws[2 + n_bd].shape, jnp.float32),
+                jax.ShapeDtypeStruct(ws[3 + n_bd].shape, jnp.float32),
                 jax.ShapeDtypeStruct((h, 1), jnp.float32),
             ],
             interpret=interpret,
-        )(emb, xo, pm, kb, bb, ks, ko, sb, gps, gpo, gcov)
+        )(emb, xo, pm, *ws, gps, gpo, gcov)
+        return outs
 
     @jax.custom_vjp
-    def op(emb, xo, pm, kb, bb, ks, ko, sb):
-        return forward(emb, xo, pm, kb, bb, ks, ko, sb)
+    def op(emb, xo, pm, *ws_f32):
+        return forward(emb, xo, pm, *ws_f32)
 
-    def op_fwd(emb, xo, pm, kb, bb, ks, ko, sb):
-        return forward(emb, xo, pm, kb, bb, ks, ko, sb), (
-            emb, xo, pm, kb, bb, ks, ko, sb,
-        )
+    def op_fwd(emb, xo, pm, *ws_f32):
+        return forward(emb, xo, pm, *ws_f32), (emb, xo, pm, ws_f32)
 
     def op_bwd(res, g):
-        emb, xo, pm, kb, bb, ks, ko, sb = res
+        emb, xo, pm, ws_f32 = res
         gps, gpo, gcov, _gattn = g  # attn is stop-gradient'd by the wrapper
-        demb, dxo, dkb, dbb, dks, dko, dsb = backward_call(
-            emb, xo, pm, kb, bb, ks, ko, sb, gps, gpo, gcov
-        )
-        return (demb, dxo, None, dkb, dbb.reshape(-1), dks, dko, dsb.reshape(-1))
+        outs = backward_call(emb, xo, pm, ws_f32, gps, gpo, gcov)
+        if vocab_sizes:
+            dxo, dbd, dkb, dbb, dks, dko, dsb = outs
+            return (None, dxo, None, dbd, dkb, dbb.reshape(-1), dks, dko,
+                    dsb.reshape(-1))
+        demb, dxo, dkb, dbb, dks, dko, dsb = outs
+        return (demb, dxo, None, dkb, dbb.reshape(-1), dks, dko,
+                dsb.reshape(-1))
 
     op.defvjp(op_fwd, op_bwd)
     return op
@@ -369,7 +435,7 @@ def _make_attnpool_op(act_name, dtype_name, interpret):
 
 def binned_attnpool_proj_t(
     embT, k_blk, b_blk, act_name, xoT, pool_mat, score_k_self, score_k_other,
-    score_b, *, interpret: bool = False,
+    score_b, *, interpret: bool = False, embed_spec=None,
 ):
     """Fused projection → scores → softmax → pool, feature-major.
 
@@ -381,11 +447,31 @@ def binned_attnpool_proj_t(
     (differentiable, caller-side).  Returns (pooled_self (Ds, B),
     pooled_other (Do, B), coverage (B,), attn (H, A)) all fp32 with
     B = nb·mb, or ``None`` when no legal lane-window grouping exists.
+
+    With ``embed_spec=(codes (F, A) int32, blockdiag_t (E, ΣV) fp32,
+    vocab_sizes)`` the embedding one-hot matmul also runs in-kernel
+    (ops/embed.py semantics) — embT is ignored and never materialized.
     """
     nb, mb, ab = pool_mat.shape
     if (_pick_group(nb, mb, ab, interpret) is None
             or _pick_group(nb, mb, ab, interpret, bwd=True) is None):
         return None
+    if embed_spec is not None:
+        codes, bd_t, vocab_sizes = embed_spec
+        dt = jnp.dtype(xoT.dtype)
+        op = _make_attnpool_op(act_name, dt.name, interpret, tuple(vocab_sizes))
+        ps, po, cov, attn = op(
+            codes.astype(jnp.int32),
+            xoT.astype(dt),
+            pool_mat,
+            bd_t,
+            k_blk,
+            b_blk,
+            score_k_self,
+            score_k_other,
+            score_b,
+        )
+        return ps, po, cov.reshape(-1), jax.lax.stop_gradient(attn)
     dt = jnp.dtype(embT.dtype)
     op = _make_attnpool_op(act_name, dt.name, interpret)
     ps, po, cov, attn = op(

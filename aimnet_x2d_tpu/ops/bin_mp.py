@@ -388,7 +388,7 @@ def _pick_group(nb, ab, D, n_layers, n_blocks, itemsize, bwd, dropout,
 
 @functools.lru_cache(maxsize=32)
 def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
-                   dropout=0.0, proj=False):
+                   dropout=0.0, proj=False, vocab_sizes=None):
     """Build the custom-VJP fused op for ``n_layers`` stacked shell-conv
     layers (static configuration).
 
@@ -404,7 +404,9 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
     n_w = 4 + 4 * n_blocks  # PREPPED weights per layer (in/skip kernels fused)
     n_orig = 6 + 4 * n_blocks  # caller-facing weights per layer
     n_tot = n_w * n_layers
-    n_extra = 2 if proj else 0  # in-kernel x_other projection (kb, bb)
+    # in-kernel x_other projection (kb, bb), optionally preceded by the
+    # block-diag embedding table bd when the one-hot fold is on
+    n_extra = (3 if vocab_sizes else 2) if proj else 0
 
     def _layer_ws(rest, l):
         return tuple(
@@ -412,13 +414,26 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
         )
 
     def _proj_in(rest, x):
-        """With ``proj``, x is the embedding array embT (E, G·ab); compute
-        x₀ = act((kbᵀ @ emb).astype(dt) + bb) — same op sequence as
-        models/gnn.py::_proj_rows_t.  Returns (t₀, x₀)."""
-        kbp = rest[0][...]  # (E, D) compute dtype
-        bbp = rest[1][...]  # (D, 1)
-        t0 = _dot_c00(kbp, x).astype(dt) + bbp
-        return t0, _act_value(act, t0)
+        """With ``proj``, x is the embedding array embT (E, G·ab) — or the
+        stacked code rows (F, G·ab) int32 when ``vocab_sizes`` is set, in
+        which case the embedding one-hot matmul (ops/embed.py semantics)
+        runs here first.  Compute x₀ = act((kbᵀ @ emb).astype(dt) + bb) —
+        same op sequence as models/gnn.py::_proj_rows_t.  Returns
+        (oh, emb, t₀, x₀)."""
+        oh = None
+        if vocab_sizes:
+            from .embed import onehot_rows
+
+            oh = onehot_rows(x, vocab_sizes, dt)  # (ΣV, G·ab)
+            emb = jnp.dot(
+                rest[0][...], oh, preferred_element_type=jnp.float32
+            ).astype(dt)  # (E, G·ab)
+            kbp, bbp = rest[1][...], rest[2][...]
+        else:
+            emb = x
+            kbp, bbp = rest[0][...], rest[1][...]
+        t0 = _dot_c00(kbp, emb).astype(dt) + bbp
+        return oh, emb, t0, _act_value(act, t0)
 
     def _drop_ctx(seed_ref, l, lanes):
         # static (layer, block) tag base + the grid step's global lane
@@ -438,7 +453,7 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
         adj = adj_ref[...]  # (G, ab, ab) block-diagonal group
         x = x_ref[...]  # (D, G*ab) feature-major lane window (embT if proj)
         if proj:
-            _, x = _proj_in(rest, x)
+            _, _, _, x = _proj_in(rest, x)
         for l in range(n_layers):
             y = _fwd_math(
                 x, adj, _layer_ws(rest, l), act, n_blocks, dt,
@@ -451,16 +466,19 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
         seed_ref = refs[0] if dropout else None
         x_ref, adj_ref, *rest = refs[1 if dropout else 0 :]
         g_ref = rest[n_extra + n_tot]
-        dx_ref = rest[n_extra + n_tot + 1]
-        grad_refs = rest[n_extra + n_tot + 2 :]
+        if vocab_sizes:
+            dx_ref = None  # codes carry no cotangent — no dx output
+            grad_refs = rest[n_extra + n_tot + 1 :]
+        else:
+            dx_ref = rest[n_extra + n_tot + 1]
+            grad_refs = rest[n_extra + n_tot + 2 :]
         adj = adj_ref[...]
         # Recompute pass (stays in VMEM), keeping per-layer inputs and
         # intermediates so the backward walk costs no extra matmuls.
         x = x_ref[...]
-        emb = t0 = None
+        oh = emb = t0 = None
         if proj:
-            emb = x
-            t0, x = _proj_in(rest, x)
+            oh, emb, t0, x = _proj_in(rest, x)
         xs, saveds = [], []
         for l in range(n_layers):
             y, saved = _fwd_math(
@@ -486,11 +504,20 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
             # (fp32-compare act grads like the block walk)
             dt032 = g32 * _act_grad(act, t0).astype(jnp.float32)
             dt0c = dt032.astype(dt)
-            dx_ref[...] = _dot(rest[0][...], dt0c, dx_ref.dtype)  # (E, G·ab)
+            kb_idx = 1 if vocab_sizes else 0
             extra_wgrads = [
                 _dot_c11(emb, dt0c),  # d_kb (E, D) fp32, original orientation
                 jnp.sum(dt032, axis=1, keepdims=True),  # d_bb (D, 1)
             ]
+            if vocab_sizes:
+                # demb never leaves VMEM: the table cotangent accumulates
+                # here (compute-dtype round at the emb boundary, matching
+                # the unfused cast vjp); codes get no cotangent, so there
+                # is no dx output at all
+                dembc = _dot(rest[kb_idx][...], dt0c, dt)  # (E, G·ab)
+                extra_wgrads.insert(0, _dot_c11(dembc, oh))  # d_bd (E, ΣV)
+            else:
+                dx_ref[...] = _dot(rest[0][...], dt0c, dx_ref.dtype)
         else:
             dx_ref[...] = g32.astype(dx_ref.dtype)
         flat_wgrads = extra_wgrads + [
@@ -570,12 +597,19 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
     def _prep_all(ws_f32):
         if not proj:
             return _prep(ws_f32), 0, ws_f32[0].shape[1]
+        pre = ()
+        extra_rows = 0
+        if vocab_sizes:
+            bd = ws_f32[0]  # (E, ΣV) fp32 block-diag table
+            pre = (bd.astype(dt),)
+            extra_rows = bd.shape[0] + bd.shape[1]  # emb + onehot rows
+            ws_f32 = ws_f32[1:]
         kb, bb = ws_f32[:2]
-        ws = (
+        ws = pre + (
             kb.astype(dt),
             bb.astype(dt).reshape(-1, 1),
         ) + _prep(ws_f32[2:])
-        return ws, kb.shape[0], kb.shape[1]
+        return ws, kb.shape[0] + extra_rows, kb.shape[1]
 
     def forward(xT, adj, seed, *ws_f32):
         d_in, A = xT.shape
@@ -597,7 +631,9 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
                 *[_const_spec(w.shape) for w in ws],
             ],
             out_specs=_lane_spec(d, G * ab),
-            out_shape=jax.ShapeDtypeStruct((d, A), xT.dtype),
+            # vocab mode: xT holds int32 codes — the output is still the
+            # compute-dtype x_other
+            out_shape=jax.ShapeDtypeStruct((d, A), dt if vocab_sizes else xT.dtype),
             cost_estimate=pl.CostEstimate(
                 flops=flops,
                 bytes_accessed=xT.size * 4,
@@ -620,10 +656,22 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
             for w in ws[n_extra:]
         ]
         if proj:
-            wg_shapes = [
-                jax.ShapeDtypeStruct(ws[0].shape, jnp.float32),  # d_kb (E, D)
+            kb_idx = 1 if vocab_sizes else 0
+            pre_shapes = [
+                jax.ShapeDtypeStruct(ws[kb_idx].shape, jnp.float32),  # d_kb
                 jax.ShapeDtypeStruct((d, 1), jnp.float32),  # d_bb
-            ] + wg_shapes
+            ]
+            if vocab_sizes:
+                pre_shapes.insert(
+                    0, jax.ShapeDtypeStruct(ws[0].shape, jnp.float32)  # d_bd
+                )
+            wg_shapes = pre_shapes + wg_shapes
+        if vocab_sizes:
+            # codes carry no cotangent: no dx output at all
+            dx_specs, dx_shapes = [], []
+        else:
+            dx_specs = [_lane_spec(d_in, G * ab)]
+            dx_shapes = [jax.ShapeDtypeStruct((d_in, A), xT.dtype)]
         flops = 3 * 2 * nb * ab * (
             n_layers * ab * d + sum(w.size for w in ws if w.shape[1] > 1)
         )
@@ -638,11 +686,11 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
                 _lane_spec(d, G * ab),
             ],
             out_specs=[
-                _lane_spec(d_in, G * ab),
+                *dx_specs,
                 *[_const_spec(sh.shape) for sh in wg_shapes],
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((d_in, A), xT.dtype),
+                *dx_shapes,
                 *wg_shapes,
             ],
             cost_estimate=pl.CostEstimate(
@@ -652,6 +700,11 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
             ),
             interpret=interpret,
         )(*seed_vals, xT, adj, *ws, gT)
+        if vocab_sizes:
+            dbd, dkb, dbb = outs[0], outs[1], outs[2]
+            return None, [
+                dbd, dkb, dbb.reshape(ws_f32[2].shape),
+            ] + _unprep_grads(ws_f32[3:], outs[3:])
         if proj:
             dkb, dbb = outs[1], outs[2]
             return outs[0], [
@@ -768,6 +821,7 @@ def binned_mp_stack_t(
     dropout: float = 0.0,
     drop_seed=None,
     proj_weights=None,
+    embed_spec=None,
 ):
     """Feature-major entry: xT (D, A) in, (D, A) out — NO transposes at
     the op boundary.  For callers whose whole atom datapath is
@@ -779,16 +833,29 @@ def binned_mp_stack_t(
     the x_other projection x₀ = act(kbᵀ emb + bb) in VMEM — the (D, A)
     pre-MP array never exists in HBM, and the backward emits
     demb/d_kb/d_bb directly (reference projection+split:
-    src/models/gnn.py:224-231)."""
+    src/models/gnn.py:224-231).
+
+    With additionally ``embed_spec=(codes (F, A) int32, blockdiag_t
+    (E, ΣV) fp32, vocab_sizes)``, xT is ignored: the embedding one-hot
+    matmul (ops/embed.py semantics) also runs in-kernel and the backward
+    emits the block-diag table gradient — no (E, A) embedding array
+    exists in HBM in either direction."""
     nb, ab, _ = bin_adj.shape
-    D, A = xT.shape
-    assert A == nb * ab, (A, nb, ab)
     dt = jnp.dtype(compute_dtype) if compute_dtype is not None else jnp.dtype(
         jnp.float32
     )
+    vocab = None
+    if embed_spec is not None:
+        assert proj_weights is not None, "embed fold requires the proj fold"
+        codes, bd_t, vocab = embed_spec
+        vocab = tuple(int(v) for v in vocab)
+        xin = codes.astype(jnp.int32)
+    else:
+        xin = xT.astype(dt)
+    assert xin.shape[1] == nb * ab, (xin.shape, nb, ab)
     op = _make_stack_op(
         act, num_mlp_layers, len(weights_layers), dt.name, interpret, True,
-        float(dropout), proj=proj_weights is not None,
+        float(dropout), proj=proj_weights is not None, vocab_sizes=vocab,
     )
     if dropout > 0.0:
         assert drop_seed is not None, "dropout requires a per-step seed"
@@ -798,7 +865,10 @@ def binned_mp_stack_t(
     else:
         seed = jnp.zeros((1,), jnp.float32)
     flat = tuple(w for lws in weights_layers for w in lws)
+    if embed_spec is not None:
+        kb, bb = proj_weights
+        return op(xin, bin_adj, seed, bd_t, kb, bb, *flat)
     if proj_weights is not None:
         kb, bb = proj_weights
-        return op(xT.astype(dt), bin_adj, seed, kb, bb, *flat)
-    return op(xT.astype(dt), bin_adj, seed, *flat)
+        return op(xin, bin_adj, seed, kb, bb, *flat)
+    return op(xin, bin_adj, seed, *flat)

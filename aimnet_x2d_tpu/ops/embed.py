@@ -14,7 +14,42 @@ anyway (the projection that consumes them).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def onehot_rows(codes, vocab_sizes, dt):
+    """Concat one-hot (ΣV, L) from stacked code rows (F, L) int32 — the
+    in-kernel (Mosaic-safe: iota + compares, no gathers) twin of the
+    onehot_t concat below.  A code outside its block's [0, V_f) range
+    lights no row (zero embedding), exactly like ``id == arange(V)``
+    outside the range.  Shared by the Pallas kernels that fold the
+    embedding lookup in-kernel (ops/bin_attnpool.py, ops/bin_mp.py)."""
+    V = int(sum(vocab_sizes))
+    L = codes.shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (V, L), 0)
+    oh = None
+    off = 0
+    for f, v in enumerate(vocab_sizes):
+        cf = jax.lax.slice_in_dim(codes, f, f + 1, axis=0)  # (1, L)
+        m = (row >= off) & (row < off + v) & ((row - off) == cf)
+        oh = m if oh is None else (oh | m)
+        off += int(v)
+    return oh.astype(dt)
+
+
+def blockdiag_table_t(tables):
+    """Stack fp32 embedding tables into the transposed block-diagonal
+    (ΣD, ΣV) master used by the in-kernel embedding fold — plain
+    differentiable jnp (pad/concat/transpose), so table gradients flow
+    back through XLA from the kernel's d_blockdiag output."""
+    D = sum(int(t.shape[1]) for t in tables)
+    rows, c0 = [], 0
+    for t in tables:
+        d = int(t.shape[1])
+        rows.append(jnp.pad(t, ((0, 0), (c0, D - c0 - d))))
+        c0 += d
+    return jnp.concatenate(rows, axis=0).T  # (ΣD, ΣV)
 
 
 def embed_concat_onehot(tables, ids, dtype=jnp.bfloat16):

@@ -174,3 +174,44 @@ def test_multibin_groups(binned_batch):
     fr, _ = jax.flatten_util.ravel_pytree(ref[1])
     fg, _ = jax.flatten_util.ravel_pytree(got[1])
     np.testing.assert_allclose(np.asarray(fg), np.asarray(fr), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_embed_fold_equality(binned_batch, dtype):
+    """AIMNET_EMBED_FOLD (default on) runs the embedding one-hot matmul
+    inside BOTH fused kernels (attnpool + MP stack) from raw code rows;
+    values and all gradients — including the four embedding tables, whose
+    cotangent arrives via the block-diag d_bd — must match the fold-off
+    path."""
+    cfg = _cfg(compute_dtype=dtype)
+    model = GNN(cfg)
+    os.environ["AIMNET_MP_MEGAKERNEL"] = "interpret"
+    os.environ["AIMNET_ATTNPOOL_KERNEL"] = "interpret"
+    os.environ["AIMNET_EMBED_FOLD"] = "0"
+    try:
+        params = model.init(jax.random.PRNGKey(0), binned_batch)
+
+        def fwd(p):
+            out = model.apply(p, binned_batch)
+            mask = binned_batch.graph_mask
+            return jnp.sum(
+                jnp.where(mask[:, None], out.predictions.astype(jnp.float32), 0.0)
+                ** 2
+            )
+
+        ref = (fwd(params), jax.grad(fwd)(params))
+        os.environ["AIMNET_EMBED_FOLD"] = "1"
+        got = (fwd(params), jax.grad(fwd)(params))
+    finally:
+        os.environ.pop("AIMNET_EMBED_FOLD", None)
+        os.environ.pop("AIMNET_ATTNPOOL_KERNEL", None)
+        os.environ.pop("AIMNET_MP_MEGAKERNEL", None)
+    tol = 1e-5 if dtype == "float32" else 3e-2
+    np.testing.assert_allclose(float(got[0]), float(ref[0]), rtol=tol)
+    fr, _ = jax.flatten_util.ravel_pytree(ref[1])
+    fg, _ = jax.flatten_util.ravel_pytree(got[1])
+    fr, fg = np.asarray(fr), np.asarray(fg)
+    scale = np.maximum(np.abs(fr).max(), 1e-6)
+    np.testing.assert_allclose(
+        fg / scale, fr / scale, atol=2e-4 if dtype == "float32" else 4e-2
+    )
