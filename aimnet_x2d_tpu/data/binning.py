@@ -49,6 +49,26 @@ class BinningError(ValueError):
     """Batch cannot be bin-packed (e.g. a molecule exceeds ``ab`` atoms)."""
 
 
+def adaptive_mb_cap(mol_sizes: np.ndarray, ab: int, mb: int) -> int:
+    """Adaptive molecule cap: everything molecule-shaped (pooling matmuls,
+    FFN, losses) scales with bins × mb_eff, and mb_eff is set by the
+    single worst bin — a run of small molecules can inflate it well past
+    the typical fill (observed 24 vs 14 mean on the synthetic flagship
+    batch: 53% slot occupancy).  Capping packing at ~ab/median closes
+    such bins early; for typical mixes it binds exactly when a bin is
+    already ≳75% full by atoms, so the bin count is unchanged while the
+    molecule axis shrinks (measured: same 2560 bins, 61440 → 40960 mol
+    slots at the 32k flagship batch).  Shared by the Python packer and the
+    native one-pass builder so their layouts stay bit-identical
+    (tests/test_native_batch.py)."""
+    sizes = mol_sizes[mol_sizes > 0]
+    if sizes.size == 0:
+        return mb
+    med = max(float(np.median(sizes)), 1.0)
+    cap = bucket_size(int(np.ceil(ab / med)), align=8)
+    return min(mb, max(cap, 8))
+
+
 def plan_bins(mol_sizes: np.ndarray, ab: int, mb: int):
     """Greedy in-order packing of whole molecules into (ab atoms, mb mols)
     bins.  Returns (bin_of_mol, local_of_mol, new_atom_start, num_bins)."""
@@ -156,20 +176,7 @@ def bin_pack_batch(
     A0 = batch.num_atom_slots
     mol_sizes = np.bincount(amol[amask], minlength=B_real)
 
-    # Adaptive molecule cap: everything molecule-shaped (pooling matmuls,
-    # FFN, losses) scales with bins × mb_eff, and mb_eff is set by the
-    # single worst bin — a run of small molecules can inflate it well past
-    # the typical fill (observed 24 vs 14 mean on the synthetic flagship
-    # batch: 53% slot occupancy).  Capping packing at ~ab/median closes
-    # such bins early; for typical mixes it binds exactly when a bin is
-    # already ≳75% full by atoms, so the bin count is unchanged while the
-    # molecule axis shrinks (measured: same 2560 bins, 61440 → 40960 mol
-    # slots at the 32k flagship batch).
-    if B_real > 0:
-        med = float(np.median(mol_sizes[mol_sizes > 0]) or 1.0)
-        cap = bucket_size(int(np.ceil(ab / max(med, 1.0))), align=8)
-        mb = min(mb, max(cap, 8))
-
+    mb = adaptive_mb_cap(mol_sizes, ab, mb)
     bin_of, local, start, nbins = plan_bins(mol_sizes, ab, mb)
 
     nbins_padded = bucket_size(nbins, align=8)

@@ -338,6 +338,15 @@ def build_binned_batch(
     idx = np.ascontiguousarray(np.asarray(indices, np.int32))
     n = idx.shape[0]
 
+    # same adaptive molecule cap as the Python packer (bit-identical
+    # layouts — cross-validated by tests/test_native_batch.py)
+    from .binning import adaptive_mb_cap
+
+    sizes = (
+        np.asarray(cache.mol_atom_off)[idx + 1] - np.asarray(cache.mol_atom_off)[idx]
+    ).astype(np.int64)
+    mb_cap = adaptive_mb_cap(sizes, ab, mb_cap)
+
     bin_of = np.zeros(n, np.int32)
     local_of = np.zeros(n, np.int32)
     start_of = np.zeros(n, np.int64)
