@@ -147,7 +147,16 @@ class GNN(nn.Module):
     config: GNNConfig
 
     @nn.compact
-    def __call__(self, batch: MolBatch, *, deterministic: bool = True) -> GNNOutput:
+    def __call__(
+        self, batch: MolBatch, *, deterministic: bool = True,
+        train_mode: bool = False,
+    ) -> GNNOutput:
+        # ``train_mode``: this forward will be differentiated (the train
+        # step sets it).  The attention-pool/projection kernel folds
+        # default on only there — their win is in the backward, while
+        # forward-only contexts (eval/inference/init) pay their much
+        # longer Mosaic remote-compiles for <1 ms/batch (policy fns in
+        # ops/bin_attnpool.py / ops/bin_mp.py; env overrides for tests).
         cfg = self.config
         act = get_activation_function(cfg.activation_type)
         feature_sizes = dict(cfg.feature_sizes)
@@ -333,7 +342,7 @@ class GNN(nn.Module):
             # embT's producer is DCE'd.
             from ..ops.bin_attnpool import embed_fold_enabled
 
-            fold_proj = stack_proj_enabled()
+            fold_proj = stack_proj_enabled(train_mode)
             fold_embed = fold_proj and embed_fold_enabled()
             x_other = binned_mp_stack_t(
                 xT if fold_proj else x_other,
@@ -486,6 +495,7 @@ class GNN(nn.Module):
                 proj_spec=(xT, k_ep[:, :xs], b_ep[:xs]) if t_path else None,
                 act_name=cfg.activation_type,
                 embed_spec=embed_spec if t_path else None,
+                train_mode=train_mode,
             )
         elif cfg.pooling_type == "mean":
             if linear_pool:

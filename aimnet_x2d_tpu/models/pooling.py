@@ -192,7 +192,7 @@ class MultiHeadAttentionPooling(nn.Module):
     def __call__(
         self, x, atom_mol, atom_mask, num_graphs, *, deterministic=True,
         pool_mat=None, pre_proj=None, feature_major=False, proj_spec=None,
-        act_name=None, embed_spec=None,
+        act_name=None, embed_spec=None, train_mode=False,
     ):
         """With ``pre_proj=(k_cs, b_cs)``, ``x`` is the PRE-projection atom
         array — given as the LIST of concat parts [x_self, x_other] so the
@@ -286,7 +286,7 @@ class MultiHeadAttentionPooling(nn.Module):
                         embed_fold_enabled,
                     )
 
-                    mode = attnpool_kernel_enabled()
+                    mode = attnpool_kernel_enabled(train_mode)
                     if mode is not None:
                         # Fully-fused path (ops/bin_attnpool.py): the
                         # x_self projection, scores, per-molecule softmax

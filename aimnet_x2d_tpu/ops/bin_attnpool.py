@@ -68,18 +68,26 @@ def embed_fold_enabled() -> bool:
     )
 
 
-def attnpool_kernel_enabled() -> str | None:
-    """Default ON for the TPU backend; ``AIMNET_ATTNPOOL_KERNEL=0``
-    disables, ``=interpret`` forces the interpreter path off-TPU (tests)."""
+def attnpool_kernel_enabled(train_mode: bool = True) -> str | None:
+    """Default ON for the TPU backend in TRAINING; ``AIMNET_ATTNPOOL_KERNEL=0``
+    disables, ``=1`` forces on, ``=interpret`` forces the interpreter path
+    off-TPU (tests).
+
+    ``train_mode=False`` (eval / inference / init — forward-only) turns
+    the unforced default OFF: without a backward pass the fold saves
+    <1 ms/batch while its Mosaic kernels cost ~10× the XLA forward's
+    remote-compile time (measured ~2 min vs ~13 s cold CLI inference on
+    axon, which has no persistent compile cache), and the XLA forward is
+    equally fast per-batch.  Explicit env settings override for tests."""
     env = os.environ.get("AIMNET_ATTNPOOL_KERNEL", "").lower()
     if env in ("0", "off", "false"):
         return None
     if env == "interpret":
         return "interpret"
-    if jax.default_backend() == "tpu":
-        return "tpu"
     if env in ("1", "on", "true"):
-        return "interpret"
+        return "tpu" if jax.default_backend() == "tpu" else "interpret"
+    if train_mode and jax.default_backend() == "tpu":
+        return "tpu"
     return None
 
 

@@ -344,11 +344,20 @@ def _const_spec(shape):
     )
 
 
-def stack_proj_enabled() -> bool:
+def stack_proj_enabled(train_mode: bool = True) -> bool:
     """Fold the x_other embedding-projection into the MP stack kernel
     (models/gnn.py feature-major path): default ON wherever the megakernel
-    itself runs; ``AIMNET_MP_PROJ=0`` disables (parity tests toggle it)."""
-    return os.environ.get("AIMNET_MP_PROJ", "").lower() not in ("0", "off", "false")
+    runs in TRAINING; ``AIMNET_MP_PROJ=0``/``=1`` overrides (parity tests
+    toggle it).  Forward-only contexts (``train_mode=False``) default OFF —
+    the fold's win is in the backward, and its extra Mosaic variants
+    inflate eval/inference remote-compile time (see
+    ops/bin_attnpool.py::attnpool_kernel_enabled)."""
+    env = os.environ.get("AIMNET_MP_PROJ", "").lower()
+    if env in ("0", "off", "false"):
+        return False
+    if env in ("1", "on", "true", "interpret"):
+        return True
+    return train_mode
 
 
 def _pick_group(nb, ab, D, n_layers, n_blocks, itemsize, bwd, dropout,

@@ -128,7 +128,8 @@ def make_loss_fn(model: GNN, config: TrainConfig) -> Callable:
         if dropout_rng is not None:
             kwargs = {"rngs": {"dropout": dropout_rng}}
         out = model.apply(
-            params, batch, deterministic=dropout_rng is None, **kwargs
+            params, batch, deterministic=dropout_rng is None,
+            train_mode=True, **kwargs
         )
         return base(out.predictions, batch.targets, batch.graph_mask)
 
