@@ -356,6 +356,9 @@ class GNN(nn.Module):
                 drop_seed=drop_seed,
                 proj_weights=(k_ep[:, xs:], b_ep[xs:]) if fold_proj else None,
                 embed_spec=embed_spec if fold_embed else None,
+                # the train step's jit carries the raised scoped-vmem
+                # limit, so its forward can take a wider bin group
+                wide=train_mode,
             )
         for layer_idx in range(0 if use_stack else cfg.num_message_passing_layers):
             if cfg.use_partial_charges:

@@ -361,7 +361,7 @@ def stack_proj_enabled(train_mode: bool = True) -> bool:
 
 
 def _pick_group(nb, ab, D, n_layers, n_blocks, itemsize, bwd, dropout,
-                extra_rows=0):
+                extra_rows=0, wide=False):
     """Bins per grid step.  Packing G bins along the lane axis turns the
     per-bin weight matmuls (n = ab lanes) into (n = G·ab) ones — per-issue
     MXU overhead dominates at n = 256, and grouping amortizes it — while
@@ -387,7 +387,10 @@ def _pick_group(nb, ab, D, n_layers, n_blocks, itemsize, bwd, dropout,
         # limit (trainer._tpu_compiler_options); forward also compiles in
         # default-limit contexts (init/eval), so its budget keeps G at
         # ~16 MB scoped.  AIMNET_MP_GROUP_FWD/BWD override.
-        budget = (13 if bwd else 10) * 2**20
+        # ``wide``: the calling jit carries the raised scoped-vmem limit
+        # (train step), so the forward can take a larger group than the
+        # default-limit contexts (init/eval) allow
+        budget = (13 if bwd else (24 if wide else 10)) * 2**20
         G = max(1, int(budget // (per_lane * ab)))
     G = min(G, nb, 16)
     while nb % G:
@@ -397,7 +400,7 @@ def _pick_group(nb, ab, D, n_layers, n_blocks, itemsize, bwd, dropout,
 
 @functools.lru_cache(maxsize=32)
 def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
-                   dropout=0.0, proj=False, vocab_sizes=None):
+                   dropout=0.0, proj=False, vocab_sizes=None, wide=False):
     """Build the custom-VJP fused op for ``n_layers`` stacked shell-conv
     layers (static configuration).
 
@@ -626,7 +629,7 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
         ws, e_rows, d = _prep_all(ws_f32)
         seed_specs, seed_vals = _seed_args(seed)
         G = _pick_group(nb, ab, d, n_layers, n_blocks, dt.itemsize, False,
-                        dropout, extra_rows=e_rows)
+                        dropout, extra_rows=e_rows, wide=wide)
         flops = 2 * nb * ab * (
             n_layers * ab * d + sum(w.size for w in ws if w.shape[1] > 1)
         )
@@ -831,6 +834,7 @@ def binned_mp_stack_t(
     drop_seed=None,
     proj_weights=None,
     embed_spec=None,
+    wide: bool = False,
 ):
     """Feature-major entry: xT (D, A) in, (D, A) out — NO transposes at
     the op boundary.  For callers whose whole atom datapath is
@@ -865,6 +869,7 @@ def binned_mp_stack_t(
     op = _make_stack_op(
         act, num_mlp_layers, len(weights_layers), dt.name, interpret, True,
         float(dropout), proj=proj_weights is not None, vocab_sizes=vocab,
+        wide=wide,
     )
     if dropout > 0.0:
         assert drop_seed is not None, "dropout requires a per-step seed"
