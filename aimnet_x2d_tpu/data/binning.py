@@ -39,8 +39,10 @@ import numpy as np
 
 from .batching import MolBatch, bucket_size
 
-# Defaults: 256-atom bins hold ~14 mean-sized (18-atom) molecules; 48 mol
-# slots absorb small-molecule-heavy bins without closing early.
+# Defaults: 256-atom bins hold ~14 mean-sized (18-atom) molecules.  The
+# 48-slot packing cap is an upper bound only — ``adaptive_mb_cap`` lowers
+# it to ~ab/median-molecule-size per batch so the molecule axis tracks
+# the size distribution instead of the single worst bin.
 DEFAULT_AB = 256
 DEFAULT_MB = 48
 

@@ -50,7 +50,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .bin_mp import _act_grad, _act_value
+from .bin_mp import _act_grad, _act_value, _dot_c00, _dot_c11
 from .embed import onehot_rows
 
 
@@ -91,18 +91,6 @@ def attnpool_kernel_enabled(train_mode: bool = True) -> str | None:
     return None
 
 
-def _dot_c00(a, b):  # (K, M) @ (K, N) → (M, N) fp32
-    return jax.lax.dot_general(
-        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-
-
-def _dot_c11(a, b):  # (M, K) @ (N, K) → (M, N) fp32
-    return jax.lax.dot_general(
-        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-
-
 def _f32dot(a, b):  # (M, K) @ (K, N) → fp32
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
@@ -125,7 +113,10 @@ def _pick_group(nb, mb, ab, interpret, bwd=False):
     ) or os.environ.get("AIMNET_ATTNPOOL_GROUP")
     if env:
         g = int(env)
-        return g if nb % g == 0 else None
+        legal = nb % g == 0 and (
+            interpret or ((g * ab) % 128 == 0 and (g * mb) % 128 == 0)
+        )
+        return g if legal else None
     for G in range(1, min(nb, 64) + 1):
         if nb % G:
             continue

@@ -389,8 +389,14 @@ def _pick_group(nb, ab, D, n_layers, n_blocks, itemsize, bwd, dropout,
         # ~16 MB scoped.  AIMNET_MP_GROUP_FWD/BWD override.
         # ``wide``: the calling jit carries the raised scoped-vmem limit
         # (train step), so the forward can take a larger group than the
-        # default-limit contexts (init/eval) allow
-        budget = (13 if bwd else (24 if wide else 10)) * 2**20
+        # default-limit contexts (init/eval) allow.  The wide budget is
+        # derived from the same knob the trainer passes to XLA
+        # (AIMNET_SCOPED_VMEM_KIB) so the two stay co-tuned.
+        if wide and not bwd:
+            limit_kib = int(os.environ.get("AIMNET_SCOPED_VMEM_KIB", "49152"))
+            budget = min(24, max(10, limit_kib // 2048)) * 2**20
+        else:
+            budget = (13 if bwd else 10) * 2**20
         G = max(1, int(budget // (per_lane * ab)))
     G = min(G, nb, 16)
     while nb % G:

@@ -1,7 +1,11 @@
 """Summarize a jax.profiler xplane trace: per-op device time, grouped.
 
-Usage: env PYTHONPATH= PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python \
-           python benchmarks/analyze_trace.py /tmp/prof32k [top_n]
+Usage: env PYTHONPATH= \
+           python benchmarks/analyze_trace.py /tmp/prof32k [top_n] [steps]
+
+``steps`` is the number of train steps the trace captured (bench.py with
+BENCH_PROFILE traces BENCH_ITERS steps); all "ms/step" figures divide by
+it, so pass it or read the totals as per-trace.
 
 Parses the raw XSpace protobuf (tensorflow.tsl xplane schema — the
 tensorboard profile plugin in this image is version-broken) and prints

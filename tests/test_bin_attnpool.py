@@ -178,15 +178,16 @@ def test_multibin_groups(binned_batch):
 
 @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
 def test_embed_fold_equality(binned_batch, dtype):
-    """AIMNET_EMBED_FOLD (default on) runs the embedding one-hot matmul
-    inside BOTH fused kernels (attnpool + MP stack) from raw code rows;
-    values and all gradients — including the four embedding tables, whose
-    cotangent arrives via the block-diag d_bd — must match the fold-off
-    path."""
+    """AIMNET_EMBED_FOLD=1 runs the embedding one-hot matmul inside BOTH
+    fused kernels (attnpool + MP stack, the latter via the forced
+    AIMNET_MP_PROJ=1 projection fold) from raw code rows; values and all
+    gradients — including the four embedding tables, whose cotangent
+    arrives via the block-diag d_bd — must match the fold-off path."""
     cfg = _cfg(compute_dtype=dtype)
     model = GNN(cfg)
     os.environ["AIMNET_MP_MEGAKERNEL"] = "interpret"
     os.environ["AIMNET_ATTNPOOL_KERNEL"] = "interpret"
+    os.environ["AIMNET_MP_PROJ"] = "1"  # stack proj fold → stack embed fold
     os.environ["AIMNET_EMBED_FOLD"] = "0"
     try:
         params = model.init(jax.random.PRNGKey(0), binned_batch)
@@ -204,6 +205,7 @@ def test_embed_fold_equality(binned_batch, dtype):
         got = (fwd(params), jax.grad(fwd)(params))
     finally:
         os.environ.pop("AIMNET_EMBED_FOLD", None)
+        os.environ.pop("AIMNET_MP_PROJ", None)
         os.environ.pop("AIMNET_ATTNPOOL_KERNEL", None)
         os.environ.pop("AIMNET_MP_MEGAKERNEL", None)
     tol = 1e-5 if dtype == "float32" else 3e-2
