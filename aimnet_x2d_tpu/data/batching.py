@@ -109,6 +109,13 @@ class MolBatch(struct.PyTreeNode):
     # runs atom-sharded over the mesh 'graph' axis.
     halo_send_idx: "np.ndarray | None" = None
 
+    # Binned halo shards additionally carry (G·Hp, A_loc) int8 halo-edge
+    # multiplicities: halo_adj[h, a] = #edges whose source is halo row h
+    # and destination local atom a.  Local edges live in bin_adj; halo
+    # (and intra-device cross-bin) edges live here, so
+    # agg = bin_local_agg + haloᵀ-contrib covers every edge exactly once.
+    halo_adj: "np.ndarray | None" = None
+
     # Static metadata (not a pytree leaf): True when edges are sorted
     # dst-major, letting parity-mode segment sums claim
     # indices_are_sorted=True (measured ~1.8x faster scatter on TPU v5e).

@@ -188,13 +188,24 @@ class BatchLoader:
         if binned is None:
             import jax
 
+            # halo shards bin-pack per device inside partition_halo (giant
+            # fragments are chunked there), so the molecule-size cap only
+            # binds the single-device layout
             binned = (
                 jax.default_backend() == "tpu"
                 and edge_shards == 1
-                and halo_shards == 1
-                and (mol_atoms.size == 0 or int(mol_atoms.max()) <= bin_ab)
+                and (
+                    halo_shards > 1
+                    or mol_atoms.size == 0
+                    or int(mol_atoms.max()) <= bin_ab
+                )
             )
-        elif binned and mol_atoms.size and int(mol_atoms.max()) > bin_ab:
+        elif (
+            binned
+            and halo_shards == 1
+            and mol_atoms.size
+            and int(mol_atoms.max()) > bin_ab
+        ):
             raise ValueError(
                 f"binned layout needs bin_ab >= largest molecule "
                 f"({int(mol_atoms.max())} atoms > {bin_ab})"
@@ -354,7 +365,8 @@ class BatchLoader:
         return chunks
 
     def _collate(self, idx: np.ndarray) -> MolBatch:
-        if self.binned and self._native_cache() is not None:
+        # halo mode bin-packs per device inside partition_halo, not here
+        if self.binned and self.halo_shards == 1 and self._native_cache() is not None:
             # native one-pass binned builder (native/batch_builder.cpp):
             # ~30x the python collate+bin_pack path, array-exact equal
             # (tests/test_native_batch.py)
@@ -410,7 +422,7 @@ class BatchLoader:
             graph_slots=self.batch_size,
             **kw,
         )
-        if self.binned:
+        if self.binned and self.halo_shards == 1:
             from .binning import bin_pack_batch
 
             batch = bin_pack_batch(
@@ -428,26 +440,33 @@ class BatchLoader:
         across steps — has identical static shapes."""
         from ..parallel.halo import partition_halo
 
+        kw = dict(binned=self.binned, ab=self.bin_ab) if self.binned else {}
         parts = []
         for b in collated:
             p, stats = partition_halo(
-                b, self.halo_shards, return_stats=True, **self._halo_slots
+                b, self.halo_shards, return_stats=True, **kw, **self._halo_slots
             )
             self._halo_slots = {
-                "atom_slots": stats.atom_slots_per_device,
                 "edge_slots": stats.edge_slots_per_device,
                 "halo_pair_slots": stats.halo_pair_slots,
             }
+            if self.binned:
+                self._halo_slots["bin_slots"] = stats.bin_slots
+            else:
+                self._halo_slots["atom_slots"] = stats.atom_slots_per_device
             parts.append(p)
         # earlier shards may predate a pin growth — re-partition to final caps
         final = self._halo_slots
+        atoms_final = (
+            final["bin_slots"] * self.bin_ab if self.binned else final["atom_slots"]
+        )
         for i, (b, p) in enumerate(zip(collated, parts)):
             if (
-                p.atom_type.shape[-1] != final["atom_slots"]
+                p.atom_type.shape[-1] != atoms_final
                 or p.edge_src.shape[-1] != final["edge_slots"]
                 or p.halo_send_idx.shape[-1] != final["halo_pair_slots"]
             ):
-                parts[i] = partition_halo(b, self.halo_shards, **final)
+                parts[i] = partition_halo(b, self.halo_shards, **kw, **final)
         return parts
 
     def _repin_fused(self, shards: List[MolBatch]) -> List[MolBatch]:
@@ -486,7 +505,7 @@ class BatchLoader:
                     shards = self._partition_halo_shards(shards)
                 if self.fused_edges:
                     shards = self._repin_fused(shards)
-                if self.binned:
+                if self.binned and self.halo_shards == 1:
                     # earlier shards may predate a bin/mb-pin growth within
                     # this stack — repin them to the final shared shape
                     tb = self._bin_pins.get("bins", 0)

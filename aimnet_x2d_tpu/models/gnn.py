@@ -191,6 +191,26 @@ class GNN(nn.Module):
             mk_mode = megakernel_enabled()
             use_stack = mk_mode is not None
         t_path = use_stack
+        # Halo-partitioned binned fast path (parallel/halo.py binned=True):
+        # per-device fused MP layer kernels with the boundary all_to_all
+        # between them, the local per-bin aggregation hoisted to XLA so the
+        # collective overlaps with it (ops/halo.py).  Pooling and the head
+        # stay on the flat psum path (segment ops are layout-agnostic).
+        use_halo_stack = (
+            halo
+            and cfg.parity_mode
+            and batch.bin_adj is not None
+            and batch.halo_adj is not None
+            and cfg.graph_axis is not None
+            and not cfg.use_partial_charges
+            and not cfg.use_stereochemistry
+        )
+        hk_mode = None
+        if use_halo_stack:
+            from ..ops.bin_mp import megakernel_enabled
+
+            hk_mode = megakernel_enabled()
+            use_halo_stack = hk_mode is not None
 
         # 1. Embedding lookups (reference gnn.py:262-274)
         tables, fields = [], []
@@ -360,7 +380,77 @@ class GNN(nn.Module):
                 # limit, so its forward can take a wider bin group
                 wide=train_mode,
             )
-        for layer_idx in range(0 if use_stack else cfg.num_message_passing_layers):
+        if use_halo_stack:
+            from ..ops.bin_mp import binned_mp_layer_ext_t
+            from ..ops.halo import (
+                binned_local_agg_t,
+                halo_agg_contrib_t,
+                halo_exchange_t,
+            )
+
+            _, ab_h, _ = batch.bin_adj.shape
+            dtc = cdt if cdt is not None else jnp.float32
+            ws_layers = [
+                ShellConvolutionLayer(
+                    dim=cfg.x_other_dim,
+                    num_hops=cfg.num_shells,
+                    dropout=cfg.shell_conv_dropout,
+                    activation_type=cfg.activation_type,
+                    num_mlp_layers=cfg.shell_conv_num_mlp_layers,
+                    parity_mode=cfg.parity_mode,
+                    name=f"message_passing_layers_{l}",
+                )(
+                    x_other,
+                    batch.edge_src,
+                    batch.edge_dst,
+                    batch.edge_hop,
+                    batch.edge_mask,
+                    deterministic,
+                    weights_only=True,
+                )
+                for l in range(cfg.num_message_passing_layers)
+            ]
+            drop_rate = 0.0 if deterministic else cfg.shell_conv_dropout
+            base_seed = None
+            if drop_rate > 0.0:
+                base_seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), -(2**31), 2**31 - 1, jnp.int32
+                )
+                # the hash RNG keys on LOCAL lane coordinates — fold the
+                # device index in so shards draw independent masks
+                base_seed = base_seed + jax.lax.axis_index(cfg.graph_axis)
+            xT = x_other.astype(dtc).T  # (D, A_loc = nb·ab)
+            for l, ws in enumerate(ws_layers):
+                # boundary rows for THIS layer's aggregation: the
+                # all_to_all and the local per-bin matmuls both depend only
+                # on the previous layer's output, so XLA's async collective
+                # scheduling overlaps them (SURVEY §7 hard-parts).
+                haloT = halo_exchange_t(xT, batch.halo_send_idx, cfg.graph_axis)
+                aggT = binned_local_agg_t(xT, batch.bin_adj, dtc)
+                aggT = aggT + halo_agg_contrib_t(haloT, batch.halo_adj, dtc)
+                xaT = jnp.concatenate([xT, aggT.astype(dtc)], axis=0)
+                seed_l = None
+                if base_seed is not None:
+                    # distinct per-layer tag (the ext kernel tags only
+                    # blocks within one layer); int32 wraparound is fine
+                    tag = ((l + 1) * 0x9E3779B9) & 0xFFFFFFFF
+                    tag = tag - (1 << 32) if tag >= (1 << 31) else tag
+                    seed_l = base_seed + jnp.int32(tag)
+                yT = binned_mp_layer_ext_t(
+                    xaT,
+                    ws,
+                    ab=ab_h,
+                    act=cfg.activation_type,
+                    num_mlp_layers=cfg.shell_conv_num_mlp_layers,
+                    compute_dtype=dtc,
+                    interpret=hk_mode == "interpret",
+                    dropout=drop_rate,
+                    drop_seed=seed_l,
+                )
+                xT = yT + xT
+            x_other = xT.T.astype(x_other.dtype)
+        mp_fused = use_stack or use_halo_stack
+        for layer_idx in range(0 if mp_fused else cfg.num_message_passing_layers):
             if cfg.use_partial_charges:
                 x_other = self._charge_equilibration(batch, x_other, B, pool_axis)
             if cfg.use_stereochemistry:

@@ -252,9 +252,18 @@ def _fwd_math(xT, adjg, ws, act, n_blocks, dt, keep=False, drop=None):
     D-long ones.  fp32-accumulation reassociation is the only numerics
     difference vs the two-dot row-major form.  Returns outT
     (+ intermediates when ``keep`` for the backward recompute)."""
-    w_inT, b_inT, w_sT, b_sT = ws[:4]
     aggT32 = _agg_fwd(xT, adjg, dt)
     xaT = jnp.concatenate([xT, aggT32.astype(dt)], axis=0)  # (2D, G·ab)
+    return _fwd_math_xa(xaT, ws, act, n_blocks, dt, keep=keep, drop=drop)
+
+
+def _fwd_math_xa(xaT, ws, act, n_blocks, dt, keep=False, drop=None):
+    """Post-aggregation layer math on a precomputed xaT = [xT ‖ aggT]
+    (2D, W).  Split out of :func:`_fwd_math` so the halo-partitioned mode
+    (ops/halo.py) can compute the aggregation OUTSIDE the kernel — local
+    per-bin matmuls overlapped with the boundary all_to_all — and feed the
+    combined result in."""
+    w_inT, b_inT, w_sT, b_sT = ws[:4]
     tT = _dot(w_inT, xaT, dt) + b_inT
     h = _act_value(act, tT)
     sT = _dot(w_sT, xaT, dt) + b_sT
@@ -289,9 +298,19 @@ def _bwd_from_saved(xT, adjg, ws, g, saved, act, n_blocks, dt, drop=None):
     g: (D, G·ab) upstream cotangent (compute dtype).  Returns (dxT fp32,
     per-weight fp32 grads — matrices in their ORIGINAL row-major
     orientation, biases as (D, 1) columns; ``_unprep_grads`` maps back)."""
+    D = xT.shape[0]
+    dxaT32, wgrads = _bwd_xa_from_saved(ws, g, saved, act, n_blocks, dt, drop)
+    # xa = [x ‖ adj @ x]  ⇒ dxT = dxaT[:D] + dxaT[D:] @ adj (per bin)
+    dx32 = dxaT32[:D] + _agg_bwd(dxaT32[D:], adjg, dt)
+    return dx32, wgrads
+
+
+def _bwd_xa_from_saved(ws, g, saved, act, n_blocks, dt, drop=None):
+    """Backward walk down to the xa cotangent (2D, W) — the external-
+    aggregation twin of :func:`_bwd_from_saved` (the caller owns the
+    agg-transpose fold; here dxaT is returned whole)."""
     xaT, tT, hs, us, vs, masks = saved
     w_inT, _, w_sT, _ = ws[:4]
-    D = xT.shape[0]
 
     g = g.astype(dt)
     # out = h_L + s  ⇒ both branches see g
@@ -323,13 +342,10 @@ def _bwd_from_saved(xT, adjg, ws, g, saved, act, n_blocks, dt, drop=None):
     d_bin = jnp.sum(dt_in.astype(jnp.float32), axis=1, keepdims=True)
     dxaT32 = dxaT32 + _dot_c00(w_inT, dt_in)
 
-    # xa = [x ‖ adj @ x]  ⇒ dxT = dxaT[:D] + dxaT[D:] @ adj (per bin)
-    dx32 = dxaT32[:D] + _agg_bwd(dxaT32[D:], adjg, dt)
-
     wgrads = [d_win, d_bin, d_ws, d_bs]
     for gb in grads_blocks:
         wgrads.extend(gb)
-    return dx32, wgrads
+    return dxaT32, wgrads
 
 
 # --------------------------------------------------------------------- #
@@ -342,6 +358,60 @@ def _const_spec(shape):
     return pl.BlockSpec(
         shape, lambda i: (0,) * nd, memory_space=pltpu.VMEM
     )
+
+
+def _lane_spec(r, lanes):
+    # lane-window block over a flat feature-major (r, A) array: grid
+    # step i covers columns [i*lanes, (i+1)*lanes) — no reshapes or
+    # transposes at the op boundary, so producers/consumers that also
+    # speak feature-major chain with zero layout copies
+    return pl.BlockSpec((r, lanes), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+
+def _seed_args(seed, dropout):
+    if dropout == 0.0:
+        return [], []
+    # the op-level seed arg is f32 bits (plain-zero VJP cotangent);
+    # give the kernel int32 (SMEM loads are scalar-indexed)
+    seed_i = jax.lax.bitcast_convert_type(seed, jnp.int32)
+    return [pl.BlockSpec(memory_space=pltpu.SMEM)], [seed_i]
+
+
+def _prep_layer(lw, dt):
+    """Cast ONE layer's caller-facing fp32 weights
+    ``(w_in0, w_in1, b_in, w_s0, w_s1, b_s, [w1, b1, w2, b2]…)`` to the
+    feature-major compute form ``_fwd_math_xa`` consumes: the input/skip
+    kernel pairs stacked into (D, 2D) matrices, all matrices transposed
+    to (out, in), biases as (D, 1) columns."""
+    w_in0, w_in1, b_in, w_s0, w_s1, b_s = lw[:6]
+    out = [
+        jnp.concatenate([w_in0, w_in1], axis=0).T.astype(dt),
+        b_in.astype(dt).reshape(-1, 1),
+        jnp.concatenate([w_s0, w_s1], axis=0).T.astype(dt),
+        b_s.astype(dt).reshape(-1, 1),
+    ]
+    out.extend(
+        w.T.astype(dt) if w.ndim == 2 else w.astype(dt).reshape(-1, 1)
+        for w in lw[6:]
+    )
+    return tuple(out)
+
+
+def _grad_shape_of(w):
+    # kernel emits weight grads in ORIGINAL row-major orientation
+    # (matrices: transpose of the prepped form; (D, 1) bias columns
+    # keep their shape — biases are the shape[1] == 1 entries)
+    return w.shape if w.shape[1] == 1 else (w.shape[1], w.shape[0])
+
+
+def _unprep_layer_grads(lw, lg):
+    """Map ONE layer's PREPPED-order fp32 grads back to caller order."""
+    d_win, d_bin, d_ws, d_bs = lg[:4]
+    D = lw[0].shape[1]
+    out = [d_win[:D], d_win[D:], d_bin.reshape(lw[2].shape)]
+    out += [d_ws[:D], d_ws[D:], d_bs.reshape(lw[5].shape)]
+    out += [wg.reshape(orig.shape) for orig, wg in zip(lw[6:], lg[4:])]
+    return out
 
 
 def stack_proj_enabled(train_mode: bool = True) -> bool:
@@ -552,60 +622,24 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
 
     def _prep(ws_f32):
         # Cast master fp32 weights to the compute dtype INSIDE the op (so
-        # the VJP's cotangents stay fp32 — no bf16 round-trip on dW),
-        # stack each layer's (w_in0, w_in1) / (w_s0, w_s1) kernel pairs
-        # into single (2D, D) matrices for the fused [x ‖ agg] contraction,
-        # and TRANSPOSE everything to the feature-major kernel form:
-        # matrices (out_dim, in_dim), biases (D, 1) columns.
+        # the VJP's cotangents stay fp32 — no bf16 round-trip on dW) and
+        # transform to the feature-major kernel form (see _prep_layer).
         out = []
         for l in range(n_layers):
-            lw = ws_f32[l * n_orig : (l + 1) * n_orig]
-            w_in0, w_in1, b_in, w_s0, w_s1, b_s = lw[:6]
-            out.append(jnp.concatenate([w_in0, w_in1], axis=0).T.astype(dt))
-            out.append(b_in.astype(dt).reshape(-1, 1))
-            out.append(jnp.concatenate([w_s0, w_s1], axis=0).T.astype(dt))
-            out.append(b_s.astype(dt).reshape(-1, 1))
-            out.extend(
-                w.T.astype(dt) if w.ndim == 2 else w.astype(dt).reshape(-1, 1)
-                for w in lw[6:]
-            )
+            out.extend(_prep_layer(ws_f32[l * n_orig : (l + 1) * n_orig], dt))
         return tuple(out)
 
-    def _grad_shape(w):
-        # kernel emits weight grads in ORIGINAL row-major orientation
-        # (matrices: transpose of the prepped form; (D, 1) bias columns
-        # keep their shape — biases are the shape[1] == 1 entries)
-        return w.shape if w.shape[1] == 1 else (w.shape[1], w.shape[0])
+    _grad_shape = _grad_shape_of
 
     def _unprep_grads(ws_f32, prepped_grads):
         # Map PREPPED-order fp32 grads back to the caller's weight order.
         out = []
         for l in range(n_layers):
-            lg = prepped_grads[l * n_w : (l + 1) * n_w]
-            lw = ws_f32[l * n_orig : (l + 1) * n_orig]
-            d_win, d_bin, d_ws, d_bs = lg[:4]
-            D = lw[0].shape[1]
-            out += [d_win[:D], d_win[D:], d_bin.reshape(lw[2].shape)]
-            out += [d_ws[:D], d_ws[D:], d_bs.reshape(lw[5].shape)]
-            out += [
-                wg.reshape(orig.shape) for orig, wg in zip(lw[6:], lg[4:])
-            ]
+            out += _unprep_layer_grads(
+                ws_f32[l * n_orig : (l + 1) * n_orig],
+                prepped_grads[l * n_w : (l + 1) * n_w],
+            )
         return out
-
-    def _seed_args(seed):
-        if dropout == 0.0:
-            return [], []
-        # the op-level seed arg is f32 bits (plain-zero VJP cotangent);
-        # give the kernel int32 (SMEM loads are scalar-indexed)
-        seed_i = jax.lax.bitcast_convert_type(seed, jnp.int32)
-        return [pl.BlockSpec(memory_space=pltpu.SMEM)], [seed_i]
-
-    def _lane_spec(r, lanes):
-        # lane-window block over a flat feature-major (r, A) array: grid
-        # step i covers columns [i*lanes, (i+1)*lanes) — no reshapes or
-        # transposes at the op boundary, so producers/consumers that also
-        # speak feature-major chain with zero layout copies
-        return pl.BlockSpec((r, lanes), lambda i: (0, i), memory_space=pltpu.VMEM)
 
     def _adj_spec(G, ab):
         return pl.BlockSpec(
@@ -633,7 +667,7 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
         d_in, A = xT.shape
         nb, ab, _ = adj.shape
         ws, e_rows, d = _prep_all(ws_f32)
-        seed_specs, seed_vals = _seed_args(seed)
+        seed_specs, seed_vals = _seed_args(seed, dropout)
         G = _pick_group(nb, ab, d, n_layers, n_blocks, dt.itemsize, False,
                         dropout, extra_rows=e_rows, wide=wide)
         flops = 2 * nb * ab * (
@@ -664,7 +698,7 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
         d_in, A = xT.shape
         nb, ab, _ = adj.shape
         ws, e_rows, d = _prep_all(ws_f32)
-        seed_specs, seed_vals = _seed_args(seed)
+        seed_specs, seed_vals = _seed_args(seed, dropout)
         G = _pick_group(nb, ab, d, n_layers, n_blocks, dt.itemsize, True,
                         dropout, extra_rows=e_rows + (d if proj else 0))
         # weight-grad outputs: the in-kernel projection grads (original
@@ -892,3 +926,188 @@ def binned_mp_stack_t(
         kb, bb = proj_weights
         return op(xin, bin_adj, seed, kb, bb, *flat)
     return op(xin, bin_adj, seed, *flat)
+
+
+# --------------------------------------------------------------------- #
+# External-aggregation layer op (halo-partitioned mode, ops/halo.py)
+# --------------------------------------------------------------------- #
+
+
+@functools.lru_cache(maxsize=16)
+def _make_ext_layer_op(act, n_blocks, dtype_name, interpret, dropout, ab):
+    """Custom-VJP fused op for ONE shell-conv layer whose aggregation is
+    computed OUTSIDE the kernel: ``f(xaT, seed, *ws)`` with
+    xaT = [xT ‖ aggT] (2D, A) already concatenated by the caller.
+
+    Why it exists: in halo-partitioned execution the aggregation has a
+    remote component (boundary rows arriving via ``lax.all_to_all``).
+    Keeping the aggregation in XLA lets the collective overlap with the
+    LOCAL per-bin aggregation matmuls (both depend only on the previous
+    layer's output), and this kernel then runs the projection + MLP chain
+    in VMEM exactly like the single-chip megakernel.  The backward emits
+    the full dxaT (2D, A) cotangent; XLA transposes the outside
+    aggregation (einsum transpose + the collective's transpose, which is
+    exactly the boundary scatter-add the math requires).
+    """
+    dt = jnp.dtype(dtype_name)
+    n_w = 4 + 4 * n_blocks
+
+    def _drop_ctx(seed_ref, lanes):
+        if dropout == 0.0:
+            return None
+        lane_off = jnp.uint32(pl.program_id(0)) * jnp.uint32(lanes)
+        return (dropout, jnp.uint32(seed_ref[0]), 0, lane_off)
+
+    def fwd_kernel(*refs):
+        seed_ref = refs[0] if dropout else None
+        xa_ref, *rest = refs[1 if dropout else 0 :]
+        out_ref = rest[n_w]
+        ws = tuple(r[...] for r in rest[:n_w])
+        xa = xa_ref[...]
+        out_ref[...] = _fwd_math_xa(
+            xa, ws, act, n_blocks, dt, drop=_drop_ctx(seed_ref, xa.shape[-1])
+        )
+
+    def bwd_kernel(*refs):
+        seed_ref = refs[0] if dropout else None
+        xa_ref, *rest = refs[1 if dropout else 0 :]
+        g_ref = rest[n_w]
+        dxa_ref = rest[n_w + 1]
+        grad_refs = rest[n_w + 2 :]
+        ws = tuple(r[...] for r in rest[:n_w])
+        xa = xa_ref[...]
+        drop = _drop_ctx(seed_ref, xa.shape[-1])
+        # recompute pass stays in VMEM (same remat rationale as the stack)
+        _, saved = _fwd_math_xa(xa, ws, act, n_blocks, dt, keep=True, drop=drop)
+        dxa32, wgrads = _bwd_xa_from_saved(
+            ws, g_ref[...].astype(dt), saved, act, n_blocks, dt, drop=drop
+        )
+        dxa_ref[...] = dxa32.astype(dxa_ref.dtype)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            for r in grad_refs:
+                r[...] = jnp.zeros_like(r)
+
+        for r, wg in zip(grad_refs, wgrads):
+            r[...] += wg
+
+    def forward(xaT, seed, *ws_f32):
+        d2, A = xaT.shape
+        nb = A // ab
+        ws = _prep_layer(ws_f32, dt)
+        d = ws[0].shape[0]
+        seed_specs, seed_vals = _seed_args(seed, dropout)
+        G = _pick_group(
+            nb, ab, d, 1, n_blocks, dt.itemsize, False, dropout, extra_rows=2 * d
+        )
+        flops = 2 * A * sum(w.size for w in ws if w.shape[1] > 1)
+        return pl.pallas_call(
+            fwd_kernel,
+            grid=(nb // G,),
+            in_specs=[
+                *seed_specs,
+                _lane_spec(d2, G * ab),
+                *[_const_spec(w.shape) for w in ws],
+            ],
+            out_specs=_lane_spec(d, G * ab),
+            out_shape=jax.ShapeDtypeStruct((d, A), xaT.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                bytes_accessed=xaT.size * xaT.dtype.itemsize * 2,
+                transcendentals=A * d,
+            ),
+            interpret=interpret,
+        )(*seed_vals, xaT, *ws)
+
+    def backward_call(xaT, seed, ws_f32, gT):
+        d2, A = xaT.shape
+        nb = A // ab
+        ws = _prep_layer(ws_f32, dt)
+        d = ws[0].shape[0]
+        seed_specs, seed_vals = _seed_args(seed, dropout)
+        G = _pick_group(
+            nb, ab, d, 1, n_blocks, dt.itemsize, True, dropout, extra_rows=2 * d
+        )
+        wg_shapes = [jax.ShapeDtypeStruct(_grad_shape_of(w), jnp.float32) for w in ws]
+        flops = 3 * 2 * A * sum(w.size for w in ws if w.shape[1] > 1)
+        outs = pl.pallas_call(
+            bwd_kernel,
+            grid=(nb // G,),
+            in_specs=[
+                *seed_specs,
+                _lane_spec(d2, G * ab),
+                *[_const_spec(w.shape) for w in ws],
+                _lane_spec(d, G * ab),
+            ],
+            out_specs=[
+                _lane_spec(d2, G * ab),
+                *[_const_spec(sh.shape) for sh in wg_shapes],
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((d2, A), xaT.dtype),
+                *wg_shapes,
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                bytes_accessed=xaT.size * xaT.dtype.itemsize * 3,
+                transcendentals=2 * A * d,
+            ),
+            interpret=interpret,
+        )(*seed_vals, xaT, *ws, gT)
+        return outs[0], _unprep_layer_grads(ws_f32, outs[1:])
+
+    @jax.custom_vjp
+    def op(xaT, seed, *ws_f32):
+        return forward(xaT, seed, *ws_f32)
+
+    def op_fwd(xaT, seed, *ws_f32):
+        return forward(xaT, seed, *ws_f32), (xaT, seed, ws_f32)
+
+    def op_bwd(res, g):
+        xaT, seed, ws_f32 = res
+        dxa, wgrads = backward_call(xaT, seed, ws_f32, g)
+        return (dxa, jnp.zeros_like(seed), *wgrads)
+
+    op.defvjp(op_fwd, op_bwd)
+    return op
+
+
+def binned_mp_layer_ext_t(
+    xaT,
+    weights,
+    *,
+    ab: int,
+    act: str = "silu",
+    num_mlp_layers: int = 2,
+    compute_dtype=None,
+    interpret: bool = False,
+    dropout: float = 0.0,
+    drop_seed=None,
+):
+    """One fused shell-conv layer on a PRE-AGGREGATED feature-major input.
+
+    xaT: (2D, A) = [xT ‖ aggT] with A = nb·ab — the caller computed the
+    neighborhood aggregation (local per-bin matmuls + halo contributions;
+    ops/halo.py) so the collective can overlap with the local matmuls.
+    ``weights`` is one layer's flat fp32 tuple in ``binned_mp_layer``
+    order.  Returns the layer output (D, A); the caller adds the residual
+    (reference gnn.py:302-306).
+
+    ``drop_seed`` must differ per layer AND per step (the in-kernel hash
+    RNG tags only blocks within this one layer).
+    """
+    dt = jnp.dtype(compute_dtype) if compute_dtype is not None else jnp.dtype(
+        jnp.float32
+    )
+    op = _make_ext_layer_op(
+        act, num_mlp_layers, dt.name, interpret, float(dropout), int(ab)
+    )
+    if dropout > 0.0:
+        assert drop_seed is not None, "dropout requires a per-step seed"
+        seed = jax.lax.bitcast_convert_type(
+            drop_seed.reshape(1).astype(jnp.int32), jnp.float32
+        )
+    else:
+        seed = jnp.zeros((1,), jnp.float32)
+    return op(xaT.astype(dt), seed, *weights)

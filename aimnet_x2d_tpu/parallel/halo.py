@@ -43,6 +43,8 @@ class HaloStats:
     halo_rows: int  # unique remote rows exchanged (all pairs)
     cut_edges: int
     split_molecules: int
+    # binned mode only: bins per device (0 = flat shards)
+    bin_slots: int = 0
 
     @property
     def halo_fraction(self) -> float:
@@ -79,6 +81,9 @@ def partition_halo(
     edge_slots: int | None = None,
     halo_pair_slots: int | None = None,
     return_stats: bool = False,
+    binned: bool = False,
+    ab: int = 256,
+    bin_slots: int | None = None,
 ):
     """Partition a collated batch into ``num_devices`` halo shards.
 
@@ -90,6 +95,12 @@ def partition_halo(
     batches by feeding back the previous stats.  Raises ValueError if a
     stereo row's atoms span a device boundary (only possible for split
     molecules).
+
+    ``binned=True`` emits BIN-PACKED shards (data/binning.py layout per
+    device): local edges become per-bin int8 adjacencies (``bin_adj``) so
+    each device runs the fused MP megakernel, and halo/cross-bin edges
+    become the (G·Hp, A_loc) ``halo_adj`` multiplicity matrix consumed by
+    ops/halo.py.  ``bin_slots`` pins the per-device bin count.
     """
     G = num_devices
     A = batch.num_atom_slots
@@ -104,10 +115,17 @@ def partition_halo(
 
     cuts = _device_cuts(mol_of, total_atoms, G)
     widths = [cuts[g + 1] - cuts[g] for g in range(G)]
-    A_loc = max(atom_slots or 0, bucket_size(max(max(widths), 1)))
 
     owner = np.searchsorted(np.asarray(cuts[1:]), np.arange(total_atoms), side="right")
     starts = np.asarray(cuts[:-1])
+
+    if binned:
+        return _partition_halo_binned(
+            batch, G, cuts, owner, mol_of, total_atoms, Bslots,
+            ab=ab, edge_slots=edge_slots, halo_pair_slots=halo_pair_slots,
+            bin_slots=bin_slots, return_stats=return_stats,
+        )
+    A_loc = max(atom_slots or 0, bucket_size(max(max(widths), 1)))
 
     # molecules spanning >1 device
     mol_first = np.unique(mol_of, return_index=True)[1]
@@ -246,6 +264,242 @@ def partition_halo(
             halo_rows=halo_rows,
             cut_edges=cut_edges,
             split_molecules=split_molecules,
+        )
+        return stacked, stats
+    return stacked
+
+
+def _partition_halo_binned(
+    batch: MolBatch,
+    G: int,
+    cuts,
+    owner: np.ndarray,
+    mol_of: np.ndarray,
+    total_atoms: int,
+    Bslots: int,
+    *,
+    ab: int,
+    edge_slots: int | None,
+    halo_pair_slots: int | None,
+    bin_slots: int | None,
+    return_stats: bool,
+):
+    """Binned halo shards: per-device bin-packed layout + halo matrices.
+
+    Layout rules (the megakernel's contract, data/binning.py):
+      * a FRAGMENT is one molecule's contiguous atom run on one device;
+        fragments are chunked into <= ab-atom pieces and pieces pack whole
+        into (nb, ab) bins, so every LOCAL intra-piece edge is intra-bin
+        and lands in ``bin_adj``;
+      * every other edge — cross-device (true halo) and same-device
+        cross-bin (chunked giant fragments) — routes through the halo
+        machinery: its source row joins ``halo_lists[(src_dev, dst_dev)]``
+        (src_dev may equal dst_dev; lax.all_to_all delivers self blocks)
+        and its multiplicity lands in ``halo_adj[(src_dev·Hp + rank), dst]``.
+
+    Together ``bin_adj`` + ``halo_adj`` cover each edge exactly once, so
+    agg = per-bin matmul + halo contribution reproduces the flat segment
+    aggregation (tests/test_halo.py binned equality tests).
+    """
+    from ..data.binning import BinningError, plan_bins
+
+    starts = np.asarray(cuts[:-1])
+
+    # --- per-device packing of fragment pieces into bins ---------------
+    loc = np.zeros(total_atoms, np.int64)  # device-local BINNED atom index
+    nb_need = 1
+    for g in range(G):
+        lo, hi = cuts[g], cuts[g + 1]
+        if hi <= lo:
+            continue
+        seg = mol_of[lo:hi]
+        fb = np.concatenate([[0], np.flatnonzero(np.diff(seg)) + 1, [hi - lo]])
+        piece_sizes = []
+        for i in range(len(fb) - 1):
+            s = int(fb[i + 1] - fb[i])
+            while s > 0:
+                piece_sizes.append(min(s, ab))
+                s -= ab
+        piece_sizes = np.asarray(piece_sizes, np.int64)
+        _, _, pstart, nbins_g = plan_bins(piece_sizes, ab, 1 << 30)
+        off = np.concatenate([[0], np.cumsum(piece_sizes)[:-1]])
+        within = np.arange(hi - lo) - np.repeat(off, piece_sizes)
+        loc[lo:hi] = np.repeat(pstart, piece_sizes) + within
+        nb_need = max(nb_need, nbins_g)
+    nb = max(bin_slots or 0, bucket_size(nb_need, align=8))
+    A_loc = nb * ab
+
+    # molecules spanning >1 device (stats)
+    mol_first = np.unique(mol_of, return_index=True)[1]
+    mol_last = total_atoms - 1 - np.unique(mol_of[::-1], return_index=True)[1]
+    split_molecules = int(np.sum(owner[mol_first] != owner[mol_last]))
+
+    # --- edges ----------------------------------------------------------
+    em = np.asarray(batch.edge_mask)
+    src = np.asarray(batch.edge_src)[em].astype(np.int64)
+    dst = np.asarray(batch.edge_dst)[em].astype(np.int64)
+    hop = np.asarray(batch.edge_hop)[em]
+    own_s, own_d = owner[src], owner[dst]
+    cross = (own_s != own_d) | (loc[src] // ab != loc[dst] // ab)
+    cut_edges = int((own_s != own_d).sum())
+
+    halo_lists: Dict[Tuple[int, int], np.ndarray] = {}
+    if cross.any():
+        keys = own_s[cross] * G + own_d[cross]
+        uniq = np.unique(np.stack([keys, src[cross]], axis=1), axis=0)
+        for k in np.unique(uniq[:, 0]):
+            rows = uniq[uniq[:, 0] == k, 1]
+            halo_lists[(int(k) // G, int(k) % G)] = rows
+    halo_rows = sum(len(v) for v in halo_lists.values())
+    max_pair = max((len(v) for v in halo_lists.values()), default=0)
+    Hp = max(halo_pair_slots or 0, bucket_size(max(max_pair, 1)))
+
+    send_idx = np.full((G, G, Hp), -1, np.int32)
+    for (p, g), rows in halo_lists.items():
+        send_idx[p, g, : len(rows)] = loc[rows]
+
+    # halo rank (position in the sender's sorted send list) per cross edge
+    rank_of = np.zeros(len(src), np.int64)
+    idx = np.flatnonzero(cross)
+    for e in idx:
+        rows = halo_lists[(int(own_s[e]), int(own_d[e]))]
+        rank_of[e] = np.searchsorted(rows, src[e])
+
+    per_dev_counts = [int(np.sum(own_d == g)) for g in range(G)]
+    E_loc = max(edge_slots or 0, bucket_size(max(max(per_dev_counts), 1)))
+
+    # --- stereo rows: owned by the device holding ALL referenced atoms ---
+    def _stereo_rows(rows: np.ndarray, mask: np.ndarray, what: str):
+        rows = np.asarray(rows)
+        mask = np.asarray(mask)
+        real = rows[mask]
+        if real.size:
+            own_rows = owner[np.clip(real, 0, total_atoms - 1)]
+            if (own_rows != own_rows[..., :1]).any():
+                raise ValueError(
+                    f"{what} row spans a device boundary (a split molecule cut "
+                    "through a stereocenter); repartition with fewer shards"
+                )
+            row_owner = own_rows[..., 0]
+        else:
+            row_owner = np.zeros(0, np.int64)
+        out_rows, out_masks = [], []
+        for g in range(G):
+            if real.size:
+                sel = loc[real[row_owner == g]]
+            else:
+                sel = real.reshape((0,) + rows.shape[1:])
+            padded = np.full(rows.shape, A_loc, np.int32)
+            m = np.zeros(mask.shape, bool)
+            padded[: len(sel)] = sel
+            m[: len(sel)] = True
+            out_rows.append(padded)
+            out_masks.append(m)
+        return out_rows, out_masks
+
+    tet_rows, tet_masks = _stereo_rows(batch.tet_nbrs, batch.tet_mask, "tetrahedral")
+    cis_rows, cis_masks = _stereo_rows(batch.cis_pairs, batch.cis_mask, "cis")
+    trans_rows, trans_masks = _stereo_rows(batch.trans_pairs, batch.trans_mask, "trans")
+
+    shards = []
+    for g in range(G):
+        g_atoms = np.flatnonzero(owner == g)
+        g_loc = loc[g_atoms]
+
+        def _scatter(arr, fill=0):
+            arr = np.asarray(arr)
+            out = np.full((A_loc,) + arr.shape[1:], fill, arr.dtype)
+            out[g_loc] = arr[g_atoms]
+            return out
+
+        # local intra-bin edges -> per-bin int8 adjacency
+        sel_l = (~cross) & (own_d == g)
+        ls, ld = loc[src[sel_l]], loc[dst[sel_l]]
+        flat = (ld // ab) * (ab * ab) + (ld % ab) * ab + (ls % ab)
+        uniqf, counts = np.unique(flat, return_counts=True)
+        if counts.size and counts.max() > 127:
+            raise BinningError(f"edge multiplicity {counts.max()} exceeds int8")
+        adj = np.zeros(nb * ab * ab, np.int8)
+        adj[uniqf] = counts
+        adj = adj.reshape(nb, ab, ab)
+
+        # halo / cross-bin edges -> (G*Hp, A_loc) multiplicity matrix
+        sel_h = cross & (own_d == g)
+        hrow = own_s[sel_h] * Hp + rank_of[sel_h]
+        hdst = loc[dst[sel_h]]
+        flat2 = hrow * A_loc + hdst
+        uniq2, counts2 = np.unique(flat2, return_counts=True)
+        if counts2.size and counts2.max() > 127:
+            raise BinningError(f"halo multiplicity {counts2.max()} exceeds int8")
+        hadj = np.zeros(G * Hp * A_loc, np.int8)
+        hadj[uniq2] = counts2
+        hadj = hadj.reshape(G * Hp, A_loc)
+
+        # flat edge arrays (fallback path; halo sources index the buffer)
+        sel = own_d == g
+        s_g = np.where(
+            own_s[sel] == g, loc[src[sel]],
+            A_loc + own_s[sel] * Hp + rank_of[sel],
+        )
+        d_g, h_g = loc[dst[sel]], hop[sel]
+        if len(d_g):
+            order = np.lexsort((h_g, d_g))
+            s_g, d_g, h_g = s_g[order], d_g[order], h_g[order]
+        e_src = np.zeros(E_loc, np.int32)
+        e_dst = np.full(E_loc, A_loc, np.int32)
+        e_hop = np.zeros(E_loc, np.int32)
+        e_mask = np.zeros(E_loc, bool)
+        e_src[: len(s_g)] = s_g
+        e_dst[: len(d_g)] = d_g
+        e_hop[: len(h_g)] = h_g
+        e_mask[: len(s_g)] = True
+
+        shards.append(
+            MolBatch(
+                atom_type=_scatter(np.asarray(batch.atom_type)[:total_atoms]),
+                hydrogen_count=_scatter(
+                    np.asarray(batch.hydrogen_count)[:total_atoms]
+                ),
+                degree=_scatter(np.asarray(batch.degree)[:total_atoms]),
+                hybridization=_scatter(
+                    np.asarray(batch.hybridization)[:total_atoms]
+                ),
+                atom_mol=_scatter(mol_of.astype(np.int32), Bslots),
+                atom_mask=_scatter(np.ones(total_atoms, bool), False),
+                edge_src=e_src,
+                edge_dst=e_dst,
+                edge_hop=e_hop,
+                edge_mask=e_mask,
+                total_charge=np.asarray(batch.total_charge),
+                targets=np.asarray(batch.targets),
+                graph_mask=np.asarray(batch.graph_mask),
+                tet_nbrs=tet_rows[g],
+                tet_mask=tet_masks[g],
+                cis_pairs=cis_rows[g],
+                cis_mask=cis_masks[g],
+                trans_pairs=trans_rows[g],
+                trans_mask=trans_masks[g],
+                halo_send_idx=send_idx[g],
+                halo_adj=hadj,
+                bin_adj=adj,
+                pool_mat=None,
+                edges_dst_sorted=True,
+            )
+        )
+
+    import jax
+
+    stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *shards)
+    if return_stats:
+        stats = HaloStats(
+            total_atoms=total_atoms,
+            atom_slots_per_device=A_loc,
+            edge_slots_per_device=E_loc,
+            halo_pair_slots=Hp,
+            halo_rows=halo_rows,
+            cut_edges=cut_edges,
+            split_molecules=split_molecules,
+            bin_slots=nb,
         )
         return stacked, stats
     return stacked

@@ -208,3 +208,137 @@ def test_edge_and_halo_shards_exclusive(rng):
     )
     with pytest.raises(ValueError, match="exclusive"):
         BatchLoader(ds, batch_size=4, stack_devices=2, edge_shards=2, halo_shards=2)
+
+
+# --------------------------------------------------------------------- #
+# Binned halo shards (round 3): per-device megakernel datapath with the
+# boundary all_to_all between layers (parallel/halo.py binned=True,
+# ops/halo.py feature-major helpers, ops/bin_mp.py ext-agg kernel).
+# --------------------------------------------------------------------- #
+
+
+def test_binned_partition_edge_coverage(rng):
+    """bin_adj + halo_adj together cover every real edge exactly once,
+    including self-halo rows from chunked giant fragments (ab=16 forces
+    same-device cross-bin edges)."""
+    batch = _batch(rng, n=10, big=60)
+    stacked, stats = partition_halo(batch, 4, return_stats=True, binned=True, ab=16)
+    assert stats.bin_slots > 0
+    assert int(stacked.atom_mask.sum()) == int(batch.atom_mask.sum())
+    total_edges = int(np.asarray(batch.edge_mask).sum())
+    covered = int(stacked.bin_adj.sum()) + int(stacked.halo_adj.sum())
+    assert covered == total_edges
+    # flat fallback arrays conserved too (same shards serve both paths)
+    assert int(stacked.edge_mask.sum()) == total_edges
+    # whole-molecule case: empty halo, everything in bin_adj
+    small = _batch(rng, n=10)
+    st2, s2 = partition_halo(small, 4, return_stats=True, binned=True)
+    assert int(st2.halo_adj.sum()) == 0
+    assert int(st2.bin_adj.sum()) == int(np.asarray(small.edge_mask).sum())
+
+
+@pytest.mark.parametrize("G", [2, 4])
+def test_binned_halo_forward_matches_single_device(rng, G, monkeypatch):
+    monkeypatch.setenv("AIMNET_MP_MEGAKERNEL", "interpret")
+    batch = _batch(rng, n=10)
+    model = GNN(CFG)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    ref = model.apply(params, batch, deterministic=True).predictions
+
+    stacked = partition_halo(batch, G, binned=True)
+    assert stacked.bin_adj is not None and stacked.halo_adj is not None
+    mesh = create_mesh(num_data=8 // G, num_graph=G)
+    out = _halo_forward(CFG, params, stacked, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=1e-6)
+
+
+def test_binned_halo_split_molecule_matches_single_device(rng, monkeypatch):
+    """A 60-atom chain split across 4 devices AND chunked within devices
+    (ab=16): true halo + self-halo rows, megakernel per-device."""
+    monkeypatch.setenv("AIMNET_MP_MEGAKERNEL", "interpret")
+    batch = _batch(rng, n=6, big=60)
+    model = GNN(CFG)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    ref = model.apply(params, batch, deterministic=True).predictions
+
+    stacked, stats = partition_halo(batch, 4, return_stats=True, binned=True, ab=16)
+    assert stats.split_molecules >= 1
+    assert stats.cut_edges > 0
+    mesh = create_mesh(num_data=2, num_graph=4)
+    out = _halo_forward(CFG, params, stacked, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=1e-6)
+
+
+def test_binned_halo_train_step_matches_single_device(rng, monkeypatch):
+    """(data=2, graph=2) binned-halo train step == manual weighted-mean
+    update (same harness as the flat-halo test above)."""
+    monkeypatch.setenv("AIMNET_MP_MEGAKERNEL", "interpret")
+    model = GNN(CFG)
+    tc = TrainConfig(learning_rate=1e-3, task_type="multitask")
+    mesh = create_mesh(num_data=2, num_graph=2, devices=jax.devices()[:4])
+
+    shard_batches = [_batch(rng, n=8), _batch(rng, n=8, big=40)]
+    slots = {}
+    for b in shard_batches:
+        _, stats = partition_halo(b, 2, return_stats=True, binned=True, **slots)
+        slots = {
+            "edge_slots": stats.edge_slots_per_device,
+            "halo_pair_slots": stats.halo_pair_slots,
+            "bin_slots": stats.bin_slots,
+        }
+    halo_parts = [partition_halo(b, 2, binned=True, **slots) for b in shard_batches]
+    stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *halo_parts)
+
+    params = model.init(jax.random.PRNGKey(0), shard_batches[0])
+    opt = make_optimizer(tc, params)
+    step = make_graph_parallel_train_step(model, tc, opt, mesh)
+    p_halo, _, loss_halo, n_halo = step(
+        jax.tree_util.tree_map(jnp.copy, params),
+        opt.init(params),
+        stacked,
+        jnp.float32(1e-3),
+        jax.random.PRNGKey(7),
+    )
+
+    loss_fn = make_loss_fn(model, tc)
+    losses, counts, grads_acc = [], [], None
+    for b in shard_batches:
+        l, g = jax.value_and_grad(loss_fn)(params, b, jax.random.PRNGKey(0))
+        n = float(np.sum(b.graph_mask))
+        losses.append(float(l) * n)
+        counts.append(n)
+        g = jax.tree_util.tree_map(lambda x: x * n, g)
+        grads_acc = g if grads_acc is None else jax.tree_util.tree_map(
+            lambda a, c: a + c, grads_acc, g
+        )
+    n_tot = sum(counts)
+    np.testing.assert_allclose(float(loss_halo), sum(losses) / n_tot, rtol=1e-5)
+    assert float(n_halo) == n_tot
+
+    import optax
+
+    grads = jax.tree_util.tree_map(lambda g: g / n_tot, grads_acc)
+    upd, _ = opt.update(grads, opt.init(params), params)
+    upd = jax.tree_util.tree_map(lambda u: u * 1e-3, upd)
+    p_ref = optax.apply_updates(params, upd)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_halo), jax.tree_util.tree_leaves(p_ref)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
+def test_loader_binned_halo_shards(rng):
+    mols = [_random_mol(rng, n_atoms=int(rng.integers(5, 10)), num_hops=2) for _ in range(32)]
+    targets = rng.normal(size=(32, 2)).astype(np.float32)
+    ds = MoleculeDataset(smiles=["x"] * 32, targets=targets, features=mols, max_hops=2)
+    loader = BatchLoader(
+        ds, batch_size=8, stack_devices=2, halo_shards=2, binned=True, bin_ab=32
+    )
+    shapes = set()
+    for batch in loader:
+        assert batch.atom_type.shape[:2] == (2, 2)
+        assert batch.bin_adj is not None and batch.bin_adj.ndim == 5
+        assert batch.halo_adj is not None
+        assert batch.pool_mat is None
+        shapes.add(tuple(batch.atom_type.shape) + tuple(batch.edge_src.shape))
+    assert len(shapes) == 1  # pinned static shapes across steps
