@@ -342,3 +342,70 @@ def test_loader_binned_halo_shards(rng):
         assert batch.pool_mat is None
         shapes.add(tuple(batch.atom_type.shape) + tuple(batch.edge_src.shape))
     assert len(shapes) == 1  # pinned static shapes across steps
+
+
+def test_binned_halo_collective_overlaps_local_agg(rng, monkeypatch):
+    """Comm/compute overlap structure (SURVEY §7 hard-parts, BASELINE.json
+    'boundary exchange overlapped with neighborhood aggregation'): in each
+    MP layer the boundary ``all_to_all`` and the LOCAL per-bin aggregation
+    matmul must be mutually data-independent — both consume only the
+    previous layer's output — so XLA's async-collective scheduler is free
+    to run them concurrently.  Asserted structurally on the jaxpr (data
+    independence is preserved through compilation; a dependence in either
+    direction would serialize them on every backend)."""
+    monkeypatch.setenv("AIMNET_MP_MEGAKERNEL", "interpret")
+    batch = _batch(rng, n=8)
+    model = GNN(CFG)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    stacked = partition_halo(batch, 2, binned=True)
+    mesh = create_mesh(num_data=4, num_graph=2)
+    gmodel = GNN(dataclasses.replace(CFG, graph_axis="graph"))
+
+    def fwd(p, b):
+        local = jax.tree_util.tree_map(lambda x: x[0], b)
+        return gmodel.apply(p, local, deterministic=True).predictions
+
+    smapped = jax.shard_map(
+        fwd, mesh=mesh, in_specs=(P(), P(("graph",))), out_specs=P(),
+        check_vma=False,
+    )
+    jaxpr = jax.make_jaxpr(smapped)(params, stacked)
+    inner = next(
+        e.params["jaxpr"]
+        for e in jaxpr.jaxpr.eqns
+        if e.primitive.name in ("shard_map", "smap")
+    )
+
+    producer = {}
+    for i, eqn in enumerate(inner.eqns):
+        for v in eqn.outvars:
+            producer[v] = i
+
+    def ancestors(i):
+        seen, stack = set(), [i]
+        while stack:
+            j = stack.pop()
+            for v in inner.eqns[j].invars:
+                if not hasattr(v, "count"):  # Literal (unhashable)
+                    continue
+                p = producer.get(v)
+                if p is not None and p not in seen:
+                    seen.add(p)
+                    stack.append(p)
+        return seen
+
+    a2a = [
+        i for i, e in enumerate(inner.eqns) if e.primitive.name == "all_to_all"
+    ]
+    # local per-bin aggregation = the batched dot_generals (bin_adj operand)
+    agg = [
+        i
+        for i, e in enumerate(inner.eqns)
+        if e.primitive.name == "dot_general"
+        and e.params["dimension_numbers"][1][0]  # has batch dims
+    ]
+    L = CFG.num_message_passing_layers
+    assert len(a2a) == L and len(agg) == L, (a2a, agg)
+    for c, d in zip(a2a, agg):
+        assert c not in ancestors(d), "local agg waits on the collective"
+        assert d not in ancestors(c), "collective waits on the local agg"
