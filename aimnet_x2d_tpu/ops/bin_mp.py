@@ -115,6 +115,46 @@ def _act_value(name, u):
     raise ValueError(f"unsupported activation for megakernel: {name}")
 
 
+def _act_value_aux(name, u):
+    """Activation value + a reusable auxiliary (the transcendental part)
+    so the backward walk can form the derivative WITHOUT re-evaluating
+    exp — measured ~5 ms/step of pure VPU time at the 32k flagship batch
+    (silu's exp dominates the kernels' non-MXU cost; relu A/B in
+    BASELINE.md round 3)."""
+    if name == "silu":
+        s = _sigmoid(u)
+        return u * s, s
+    if name == "elu":
+        v = jnp.where(u > 0, u, jnp.expm1(u))
+        return v, v  # grad for u<=0 is exp(u) = value + 1
+    if name == "gelu":
+        one = jnp.asarray(1, u.dtype)
+        cdf = jnp.asarray(0.5, u.dtype) * (
+            one + jax.lax.erf(u * jnp.asarray(0.7071067811865476, u.dtype))
+        )
+        return u * cdf, cdf
+    return _act_value(name, u), None
+
+
+def _act_grad_aux(name, u, aux):
+    """Derivative from the saved auxiliary (see _act_value_aux); falls
+    back to the from-scratch formula when no aux was kept."""
+    one = jnp.asarray(1, u.dtype)
+    if aux is not None:
+        if name == "silu":
+            return aux * (one + u * (one - aux))
+        if name == "elu":
+            return jnp.where(
+                u.astype(jnp.float32) > 0, one, aux + one
+            )
+        if name == "gelu":
+            pdf = jnp.asarray(0.3989422804014327, u.dtype) * jnp.exp(
+                jnp.asarray(-0.5, u.dtype) * u * u
+            )
+            return aux + u * pdf
+    return _act_grad(name, u)
+
+
 def _act_grad(name, u):
     one = jnp.asarray(1, u.dtype)
     if name == "silu":
@@ -265,13 +305,13 @@ def _fwd_math_xa(xaT, ws, act, n_blocks, dt, keep=False, drop=None):
     combined result in."""
     w_inT, b_inT, w_sT, b_sT = ws[:4]
     tT = _dot(w_inT, xaT, dt) + b_inT
-    h = _act_value(act, tT)
+    h, t_aux = _act_value_aux(act, tT)
     sT = _dot(w_sT, xaT, dt) + b_sT
-    hs, us, vs, masks = [], [], [], []
+    hs, us, vs, masks, auxs = [], [], [], [], []
     for i in range(n_blocks):
         w1T, b1T, w2T, b2T = ws[4 + 4 * i : 8 + 4 * i]
         u = _dot(w1T, h, dt) + b1T
-        v = _act_value(act, u)
+        v, u_aux = _act_value_aux(act, u)
         if drop is not None:
             # reference block order: linear → act → dropout → linear
             rate, seed, base_tag, lane_off = drop
@@ -285,10 +325,11 @@ def _fwd_math_xa(xaT, ws, act, n_blocks, dt, keep=False, drop=None):
             hs.append(h)
             us.append(u)
             vs.append(v)  # post-dropout: d_w2 contracts against this
+            auxs.append(u_aux)  # transcendental part (no exp in bwd)
         h = _dot(w2T, v, dt) + b2T + h
     out = h + sT
     if keep:
-        return out, (xaT, tT, hs, us, vs, masks)
+        return out, (xaT, tT, hs, us, vs, masks, t_aux, auxs)
     return out
 
 
@@ -309,7 +350,7 @@ def _bwd_xa_from_saved(ws, g, saved, act, n_blocks, dt, drop=None):
     """Backward walk down to the xa cotangent (2D, W) — the external-
     aggregation twin of :func:`_bwd_from_saved` (the caller owns the
     agg-transpose fold; here dxaT is returned whole)."""
-    xaT, tT, hs, us, vs, masks = saved
+    xaT, tT, hs, us, vs, masks, t_aux, auxs = saved
     w_inT, _, w_sT, _ = ws[:4]
 
     g = g.astype(dt)
@@ -330,14 +371,14 @@ def _bwd_xa_from_saved(ws, g, saved, act, n_blocks, dt, drop=None):
         if drop is not None:
             # dropout is linear: the same mask·scale maps dv̂ → dv
             dv = _apply_dropout(dv, drop[0], masks[i])
-        du = dv * _act_grad(act, us[i])
+        du = dv * _act_grad_aux(act, us[i], auxs[i])
         d_w1 = _dot_c11(hs[i], du)  # (D_h, D_u) original orientation
         d_b1 = jnp.sum(du.astype(jnp.float32), axis=1, keepdims=True)
         dh = (dh.astype(jnp.float32) + _dot_c00(w1T, du)).astype(dt)
         grads_blocks.append((d_w1, d_b1, d_w2, d_b2))
     grads_blocks.reverse()
 
-    dt_in = dh * _act_grad(act, tT)
+    dt_in = dh * _act_grad_aux(act, tT, t_aux)
     d_win = _dot_c11(xaT, dt_in)  # (2D, D) fp32, original orientation
     d_bin = jnp.sum(dt_in.astype(jnp.float32), axis=1, keepdims=True)
     dxaT32 = dxaT32 + _dot_c00(w_inT, dt_in)
@@ -445,7 +486,9 @@ def _pick_group(nb, ab, D, n_layers, n_blocks, itemsize, bwd, dropout,
     else:
         rows = 8 * D + extra_rows  # x, xa (2D), t/h/u/v/s working set
         if bwd:
-            rows += n_layers * (3 + 3 * n_blocks) * D  # saved intermediates
+            # saved intermediates incl. the act-aux arrays (sigmoid kept
+            # from the recompute so the backward re-evaluates no exp)
+            rows += n_layers * (4 + 4 * n_blocks) * D
             rows += 4 * D  # fp32 cotangent accumulators
         per_lane = rows * itemsize + ab  # + int8 adjacency column
         if dropout:
@@ -466,7 +509,11 @@ def _pick_group(nb, ab, D, n_layers, n_blocks, itemsize, bwd, dropout,
             limit_kib = int(os.environ.get("AIMNET_SCOPED_VMEM_KIB", "49152"))
             budget = min(24, max(10, limit_kib // 2048)) * 2**20
         else:
-            budget = (13 if bwd else 10) * 2**20
+            # bwd 17 MB keeps the flagship shape at G=4 after the act-aux
+            # saves joined the per-layer intermediates (measured optimum;
+            # G=2 regressed ~2.4 ms/step) — still well under the raised
+            # scoped-vmem limit even at the ~2x undercount.
+            budget = (17 if bwd else 10) * 2**20
         G = max(1, int(budget // (per_lane * ab)))
     G = min(G, nb, 16)
     while nb % G:

@@ -63,6 +63,7 @@ def _flagship_config():
         ffn_num_layers=3,
         pooling_type="attention",
         task_type="multitask",
+        activation_type=os.environ.get("BENCH_ACT", "silu"),
         shell_conv_dropout=0.0,
         ffn_dropout=0.0,
         # remat off by default: the binned layout fits 32k molecules in HBM
