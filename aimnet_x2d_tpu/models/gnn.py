@@ -190,7 +190,28 @@ class GNN(nn.Module):
 
             mk_mode = megakernel_enabled()
             use_stack = mk_mode is not None
-        t_path = use_stack
+        # Config-3 fast path (charges and/or stereo): the per-layer
+        # injections break the single fused stack, but each MP layer still
+        # runs as one fused kernel (ops/bin_mp.py ext-agg variant) with the
+        # injections as COMPACT feature-major XLA between kernels — the
+        # round-3 profile of the row-major per-layer path showed ~200 ms of
+        # (A, D)-scale fusions/copies/relayouts at the 32k flagship batch.
+        use_inject_stack = (
+            cfg.parity_mode
+            and batch.bin_adj is not None
+            and cfg.graph_axis is None
+            and not halo
+            and (cfg.use_partial_charges or cfg.use_stereochemistry)
+            and (not cfg.use_partial_charges or batch.pool_mat is not None)
+            and cfg.num_message_passing_layers >= 1
+        )
+        ik_mode = None
+        if use_inject_stack:
+            from ..ops.bin_mp import megakernel_enabled
+
+            ik_mode = megakernel_enabled()
+            use_inject_stack = ik_mode is not None
+        t_path = use_stack or use_inject_stack
         # Halo-partitioned binned fast path (parallel/halo.py binned=True):
         # per-device fused MP layer kernels with the boundary all_to_all
         # between them, the local per-bin aggregation hoisted to XLA so the
@@ -304,10 +325,22 @@ class GNN(nn.Module):
                 )
 
         # 3. Message passing (reference gnn.py:276-308)
-        # The stereochemical projection is a single module shared by every
-        # message-passing layer (reference gnn.py:195,327).
+        # The stereochemical projection is a single parameter set shared by
+        # every message-passing layer (reference gnn.py:195,327);
+        # LinearParams mirrors Linear's tree so checkpoints are identical,
+        # and the kernel is row-sliced per stereo part (no (A, 3D) concat).
         stereo_proj = (
-            Linear(cfg.x_other_dim, init="xavier", name="stereochemical_embedding_2")
+            LinearParams(
+                cfg.x_other_dim,
+                3 * cfg.x_other_dim,
+                init="xavier",
+                name="stereochemical_embedding_2",
+            )()
+            if cfg.use_stereochemistry
+            else None
+        )
+        stereo_ctx = (
+            self._stereo_context(batch, A, pool_axis, cdt)
             if cfg.use_stereochemistry
             else None
         )
@@ -449,12 +482,74 @@ class GNN(nn.Module):
                 )
                 xT = yT + xT
             x_other = xT.T.astype(x_other.dtype)
-        mp_fused = use_stack or use_halo_stack
+        if use_inject_stack:
+            from ..ops.bin_mp import binned_mp_layer_ext_t
+            from ..ops.halo import binned_local_agg_t
+
+            _, ab_i, _ = batch.bin_adj.shape
+            dtc = cdt if cdt is not None else jnp.float32
+            ws_layers = [
+                ShellConvolutionLayer(
+                    dim=cfg.x_other_dim,
+                    num_hops=cfg.num_shells,
+                    dropout=cfg.shell_conv_dropout,
+                    activation_type=cfg.activation_type,
+                    num_mlp_layers=cfg.shell_conv_num_mlp_layers,
+                    parity_mode=cfg.parity_mode,
+                    name=f"message_passing_layers_{l}",
+                )(
+                    x_other,
+                    batch.edge_src,
+                    batch.edge_dst,
+                    batch.edge_hop,
+                    batch.edge_mask,
+                    deterministic,
+                    weights_only=True,
+                )
+                for l in range(cfg.num_message_passing_layers)
+            ]
+            drop_rate = 0.0 if deterministic else cfg.shell_conv_dropout
+            base_seed = None
+            if drop_rate > 0.0:
+                base_seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), -(2**31), 2**31 - 1, jnp.int32
+                )
+            xoT = x_other  # (D, A) feature-major from _proj_rows_t
+            for l, ws in enumerate(ws_layers):
+                if cfg.use_partial_charges:
+                    xoT = self._charge_equilibration_t(batch, xoT)
+                if cfg.use_stereochemistry:
+                    xoT = self._stereochemistry_t(batch, xoT, stereo_proj, stereo_ctx)
+                aggT = binned_local_agg_t(xoT, batch.bin_adj, dtc)
+                xaT = jnp.concatenate([xoT.astype(dtc), aggT.astype(dtc)], axis=0)
+                seed_l = None
+                if base_seed is not None:
+                    tag = ((l + 1) * 0x9E3779B9) & 0xFFFFFFFF
+                    tag = tag - (1 << 32) if tag >= (1 << 31) else tag
+                    seed_l = base_seed + jnp.int32(tag)
+                yT = binned_mp_layer_ext_t(
+                    xaT,
+                    ws,
+                    ab=ab_i,
+                    act=cfg.activation_type,
+                    num_mlp_layers=cfg.shell_conv_num_mlp_layers,
+                    compute_dtype=dtc,
+                    interpret=ik_mode == "interpret",
+                    dropout=drop_rate,
+                    drop_seed=seed_l,
+                )
+                xoT = yT + xoT.astype(dtc)
+            x_other = xoT
+            if cfg.use_partial_charges and cfg.x_other_dim >= 2:
+                partial_charges = x_other[0, :]
+        mp_fused = use_stack or use_halo_stack or use_inject_stack
         for layer_idx in range(0 if mp_fused else cfg.num_message_passing_layers):
             if cfg.use_partial_charges:
                 x_other = self._charge_equilibration(batch, x_other, B, pool_axis)
             if cfg.use_stereochemistry:
-                x_other = self._stereochemistry(batch, x_other, A, stereo_proj)
+                x_other = self._stereochemistry(
+                    batch, x_other, A, stereo_proj, stereo_ctx
+                )
             layer = layer_cls(
                 dim=cfg.x_other_dim,
                 num_hops=cfg.num_shells,
@@ -483,7 +578,11 @@ class GNN(nn.Module):
                 + x_other
             )
 
-        if cfg.use_partial_charges and cfg.x_other_dim >= 2:
+        if (
+            cfg.use_partial_charges
+            and cfg.x_other_dim >= 2
+            and partial_charges is None
+        ):
             partial_charges = x_other[:, 0]
 
         # 4. Combine (reference gnn.py:245-246) — atom-embedding tap point.
@@ -745,20 +844,177 @@ class GNN(nn.Module):
         q_new = q + f_new * dQ[batch.atom_mol]
         return jnp.concatenate([q_new, f_new, rest], axis=-1)
 
-    def _stereochemistry(
-        self, batch: MolBatch, x_other: jax.Array, A: int, proj: "Linear"
-    ) -> jax.Array:
-        """Stereochemistry injection (Q6/Q7; reference gnn.py:310-509)."""
-        cis_trans = self._cis_trans_features(batch, x_other, A)
-        tet = self._tetrahedral_features(batch, x_other, A)
-        x_cat = jnp.concatenate([x_other, cis_trans, tet], axis=-1)
-        return proj(x_cat)
+    def _charge_equilibration_t(self, batch: MolBatch, xT: jax.Array) -> jax.Array:
+        """Feature-major twin of the binned charge-equilibration branch
+        (Q3; reference gnn.py:622-658): q/f are ROWS 0/1 of xT, so the
+        per-molecule sums touch only (2, A)-scale data plus two small
+        pool-matrix einsums — no (A, D) slicing/concat round-trips."""
+        nb, mb, ab = batch.pool_mat.shape
+        ohf = batch.pool_mat.astype(jnp.float32)
+        q = xT[0:1, :].astype(jnp.float32)
+        f = jnp.clip(xT[1:2, :].astype(jnp.float32), min=1e-6)
+        qf = jnp.concatenate([q, f], axis=0).reshape(2, nb, ab)
+        QF_u = jnp.einsum("bma,cba->bmc", ohf, qf)  # (nb, mb, 2)
+        F_u = jnp.clip(QF_u[..., 1:2] + 1e-6, min=1e-6)
+        dQ = batch.total_charge.reshape(nb, mb, 1) - QF_u[..., 0:1]
+        per_atom = jnp.einsum(
+            "bma,bmc->cba", ohf, jnp.concatenate([1.0 / F_u, dQ], axis=-1)
+        ).reshape(2, nb * ab)
+        f_new = f * per_atom[0:1]
+        q_new = q + f_new * per_atom[1:2]
+        # uncovered (padding) atoms: inv_F = 0 ⇒ f_new = 0, q_new = q
+        return jnp.concatenate(
+            [q_new.astype(xT.dtype), f_new.astype(xT.dtype), xT[2:]], axis=0
+        )
 
-    def _cis_trans_features(self, batch: MolBatch, x: jax.Array, A: int) -> jax.Array:
+    def _stereochemistry_t(
+        self, batch: MolBatch, xT: jax.Array, proj_kb, ctx
+    ) -> jax.Array:
+        """Feature-major stereochemistry injection (Q6/Q7).  cis/trans is
+        one batched matmul against the dense signed per-bin adjacency; the
+        tetrahedral polynomial runs on the small (C, 4, D) gather (one
+        (A, D)-scale transpose to return feature-major); the (3D, D)
+        projection is row-sliced so no 3D-wide concat exists."""
+        from ..ops.halo import binned_local_agg_t
+
+        D, A = xT.shape
+        cctT = xT + binned_local_agg_t(xT, ctx["stereo_adj"], xT.dtype).astype(
+            xT.dtype
+        )
+
+        # tetrahedral: gather columns, run the row-major polynomial on the
+        # small (C, 4, D) block, scatter, transpose the delta back
+        nbrs = ctx["tet_nbrs"]  # (C, 4)
+        C = nbrs.shape[0]
+        emb_raw = xT[:, nbrs.reshape(-1)].T.reshape(C, 4, D)
+        mags = jnp.linalg.norm(emb_raw, axis=-1, keepdims=True)
+        emb = emb_raw / jnp.maximum(mags, 1e-8)
+        squares = emb**2
+        s1, s2, s3 = (jnp.roll(squares, -k, axis=1) for k in (1, 2, 3))
+        e1, e2, e3 = (jnp.roll(emb, -k, axis=1) for k in (1, 2, 3))
+        chir = s1 * (e2 - e3) + s2 * (e3 - e1) + s3 * (e1 - e2)
+        chir = chir * jnp.tanh(jnp.mean(mags, axis=1, keepdims=True) / 3.0)
+        chir = jnp.where(batch.tet_mask[:, None, None], chir, 0.0)
+        deltaT = segment_sum(chir.reshape(-1, D), ctx["tet_flat"], A).T
+        tetT = jnp.where(
+            ctx["any_tet"],
+            jnp.where(
+                ctx["tet_nz"][None, :], xT + deltaT.astype(xT.dtype), 0.0
+            ).astype(xT.dtype),
+            xT,
+        )
+
+        k, b = proj_kb
+        y = sum(
+            jax.lax.dot_general(
+                k[i * D : (i + 1) * D].astype(p.dtype),
+                p,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for i, p in enumerate((xT, cctT, tetT))
+        )
+        return y.astype(xT.dtype) + b.astype(xT.dtype)[:, None]
+
+    def _stereo_context(self, batch: MolBatch, A: int, graph_axis, cdt):
+        """Index-only stereo precomputation, hoisted out of the per-layer
+        loop (it is identical for every layer; round-3 profile of
+        BASELINE.json config 3 showed the per-layer rebuild + the (A, D)
+        cis/trans segment scatters dominating the step).
+
+        Single-chip binned batches additionally get a dense per-bin SIGNED
+        adjacency (trans +1, cis −1 multiplicities): the per-layer
+        cis/trans contribution becomes one batched MXU matmul instead of
+        two row-serial segment scatters.  Exact for whole-in-bin
+        molecules; halo shards keep the segment path (chunked fragments
+        may put a pair's endpoints in different bins).
+        """
+        ctx: Dict[str, Any] = {}
+        if batch.bin_adj is not None and batch.halo_send_idx is None:
+            nb, ab, _ = batch.bin_adj.shape
+            sdt = cdt if cdt is not None else jnp.float32
+
+            def _flat(pairs, mask):
+                src, dst = pairs[:, 0], pairs[:, 1]
+                ok = mask & (dst < A)
+                return jnp.where(
+                    ok, (dst // ab) * (ab * ab) + (dst % ab) * ab + src % ab,
+                    nb * ab * ab,
+                )
+
+            idx = jnp.concatenate(
+                [_flat(batch.cis_pairs, batch.cis_mask),
+                 _flat(batch.trans_pairs, batch.trans_mask)]
+            )
+            # counts are small integers — exact in bf16, and the half-size
+            # array matters at foundation batch sizes
+            vals = jnp.concatenate(
+                [jnp.full((batch.cis_pairs.shape[0],), -1.0, sdt),
+                 jnp.full((batch.trans_pairs.shape[0],), 1.0, sdt)]
+            )
+            ctx["stereo_adj"] = segment_sum(vals, idx, nb * ab * ab).reshape(
+                nb, ab, ab
+            )
+        nbrs = jnp.clip(batch.tet_nbrs, 0, A - 1)  # (C, 4)
+        flat_idx = jnp.where(batch.tet_mask[:, None], batch.tet_nbrs, A).reshape(-1)
+        counts = segment_sum(jnp.ones_like(flat_idx, jnp.float32), flat_idx, A)
+        any_tet = jnp.any(batch.tet_mask)
+        if graph_axis is not None:
+            # "any chiral centers in the BATCH" is global: the reference
+            # zeroes ALL non-neighbor atoms when any center exists anywhere
+            any_tet = jax.lax.pmax(any_tet.astype(jnp.int32), graph_axis) > 0
+        ctx["tet_nbrs"] = nbrs
+        ctx["tet_flat"] = flat_idx
+        ctx["tet_nz"] = counts > 0  # (A,)
+        ctx["any_tet"] = any_tet
+        return ctx
+
+    def _stereochemistry(
+        self,
+        batch: MolBatch,
+        x_other: jax.Array,
+        A: int,
+        proj_kb,
+        ctx,
+    ) -> jax.Array:
+        """Stereochemistry injection (Q6/Q7; reference gnn.py:310-509).
+
+        The [x ‖ cis_trans ‖ tet] concat is never materialized: each part
+        hits its row block of the (3D, D) projection kernel directly (fp32
+        partial sums; reassociation-only difference — same pattern as
+        layers.py ``_proj``)."""
+        cis_trans = self._cis_trans_features(batch, x_other, A, ctx)
+        tet = self._tetrahedral_features(batch, x_other, A, ctx)
+        k, b = proj_kb
+        D = x_other.shape[-1]
+        y = sum(
+            jnp.dot(
+                p, k[i * D : (i + 1) * D].astype(p.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            for i, p in enumerate((x_other, cis_trans, tet))
+        )
+        return y.astype(x_other.dtype) + b.astype(x_other.dtype)
+
+    def _cis_trans_features(
+        self, batch: MolBatch, x: jax.Array, A: int, ctx=None
+    ) -> jax.Array:
         """Cis/trans scatter: targets accumulate −source (cis) and +source
         (trans) features (reference gnn.py:465-509).  The general scatter
         path equals the reference's empty-input early return, so no special
-        case is needed."""
+        case is needed.  Binned batches use the dense signed per-bin
+        adjacency from ``_stereo_context`` — one batched matmul."""
+        adj = ctx.get("stereo_adj") if ctx is not None else None
+        if adj is not None:
+            nb, ab, _ = adj.shape
+            D = x.shape[-1]
+            contrib = jnp.einsum(
+                "bij,bjd->bid",
+                adj.astype(x.dtype),
+                x.reshape(nb, ab, D),
+                preferred_element_type=jnp.float32,
+            ).reshape(A, D)
+            return x + contrib.astype(x.dtype)
         cis_src = jnp.where(batch.cis_mask[:, None], x[jnp.clip(batch.cis_pairs[:, 0], 0, A - 1)], 0.0)
         trans_src = jnp.where(
             batch.trans_mask[:, None], x[jnp.clip(batch.trans_pairs[:, 0], 0, A - 1)], 0.0
@@ -768,13 +1024,27 @@ class GNN(nn.Module):
         )
         return x + contrib
 
-    def _tetrahedral_features(self, batch: MolBatch, x: jax.Array, A: int) -> jax.Array:
+    def _tetrahedral_features(
+        self,
+        batch: MolBatch,
+        x: jax.Array,
+        A: int,
+        ctx=None,
+    ) -> jax.Array:
         """Tetrahedral chirality feature (reference gnn.py:387-462):
         normalize the 4 neighbor embeddings, antisymmetric roll polynomial,
         scale by tanh(mean‖emb‖/3), scatter-add into the neighbors, then
         zero all atoms that are not neighbors of any chiral center.  If the
-        batch has no chiral centers the input is returned unchanged."""
-        nbrs = jnp.clip(batch.tet_nbrs, 0, A - 1)  # (C, 4)
+        batch has no chiral centers the input is returned unchanged.
+
+        Halo mode: rows are device-local (the partitioner co-locates every
+        row's atoms), so the polynomial and the counts are local — but the
+        "any chiral centers in the BATCH" gate is global (pmax'd in
+        ``_stereo_context``: reference semantics zero ALL non-neighbor
+        atoms when any center exists anywhere)."""
+        if ctx is None:
+            ctx = self._stereo_context(batch, A, None, None)
+        nbrs = ctx["tet_nbrs"]  # (C, 4) clipped
         emb_raw = x[nbrs]  # (C, 4, D)
         mags = jnp.linalg.norm(emb_raw, axis=-1, keepdims=True)  # (C, 4, 1)
         emb = emb_raw / jnp.maximum(mags, 1e-8)
@@ -792,13 +1062,8 @@ class GNN(nn.Module):
         chir = chir * scale
         chir = jnp.where(batch.tet_mask[:, None, None], chir, 0.0)
 
-        flat_idx = jnp.where(
-            batch.tet_mask[:, None], batch.tet_nbrs, A
-        ).reshape(-1)
-        updated = x + segment_sum(chir.reshape(-1, x.shape[-1]), flat_idx, A)
-
-        counts = segment_sum(jnp.ones_like(flat_idx, jnp.float32), flat_idx, A)
-        zeroed = jnp.where((counts > 0)[:, None], updated, 0.0)
-
-        any_tet = jnp.any(batch.tet_mask)
-        return jnp.where(any_tet, zeroed, x)
+        updated = x + segment_sum(
+            chir.reshape(-1, x.shape[-1]), ctx["tet_flat"], A
+        )
+        zeroed = jnp.where(ctx["tet_nz"][:, None], updated, 0.0)
+        return jnp.where(ctx["any_tet"], zeroed, x)

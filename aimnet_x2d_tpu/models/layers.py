@@ -229,13 +229,26 @@ class ShellConvolutionLayer(nn.Module):
                 from ..ops.bin_mp import binned_mp_layer, megakernel_enabled
 
                 mk_mode = megakernel_enabled()
-                if mk_mode is not None and (self.dropout == 0.0 or deterministic):
+                if mk_mode is not None:
                     # Whole-layer Pallas megakernel (ops/bin_mp.py): the
                     # bin's features stay in VMEM through aggregation →
                     # projections → MLP blocks, removing the ~0.2-0.3 ms
                     # HBM round-trip per intermediate that dominates the
                     # unfused step (BASELINE.md round 2 profile).  Param
                     # tree is identical (LinearParams mirrors Linear).
+                    # Training dropout runs in-kernel (hash RNG); each
+                    # layer module's make_rng key is path-distinct, so
+                    # layers draw independent masks.
+                    drop_rate = 0.0 if deterministic else self.dropout
+                    drop_seed = None
+                    if drop_rate > 0.0:
+                        drop_seed = jax.random.randint(
+                            self.make_rng("dropout"),
+                            (1,),
+                            -(2**31),
+                            2**31 - 1,
+                            jnp.int32,
+                        )
                     return binned_mp_layer(
                         x,
                         bin_adj,
@@ -244,6 +257,8 @@ class ShellConvolutionLayer(nn.Module):
                         num_mlp_layers=self.num_mlp_layers,
                         compute_dtype=dt if dt is not None else jnp.float32,
                         interpret=mk_mode == "interpret",
+                        dropout=drop_rate,
+                        drop_seed=drop_seed,
                     )
                 # Bin-packed dense path (data/binning.py): molecules are
                 # whole inside ab-atom bins, so the union-of-hops

@@ -839,6 +839,8 @@ def binned_mp_layer(
     num_mlp_layers: int = 2,
     compute_dtype=None,
     interpret: bool = False,
+    dropout: float = 0.0,
+    drop_seed=None,
 ):
     """Fused shell-convolution layer over the binned layout.
 
@@ -848,6 +850,12 @@ def binned_mp_layer(
     in fp32 (master params — cast to the compute dtype here so the VJP
     returns fp32 weight grads).  Returns the layer output (A, D); the
     caller adds the outer residual (reference gnn.py:302-306).
+
+    ``dropout``/``drop_seed``: in-kernel hash-RNG dropout (module
+    docstring).  The kernel tags only blocks WITHIN this layer, so
+    ``drop_seed`` must differ per layer and per step — flax's
+    ``make_rng`` inside each layer module provides exactly that (the key
+    is folded with the module path).
     """
     nb, ab, _ = bin_adj.shape
     A, D = x.shape
@@ -855,8 +863,17 @@ def binned_mp_layer(
     dt = jnp.dtype(compute_dtype) if compute_dtype is not None else jnp.dtype(
         jnp.float32
     )
-    op = _make_stack_op(act, num_mlp_layers, 1, dt.name, interpret, False)
-    out = op(x.astype(dt).T, bin_adj, jnp.zeros((1,), jnp.float32), *weights)
+    op = _make_stack_op(
+        act, num_mlp_layers, 1, dt.name, interpret, False, float(dropout)
+    )
+    if dropout > 0.0:
+        assert drop_seed is not None, "dropout requires a per-step seed"
+        seed = jax.lax.bitcast_convert_type(
+            drop_seed.reshape(1).astype(jnp.int32), jnp.float32
+        )
+    else:
+        seed = jnp.zeros((1,), jnp.float32)
+    out = op(x.astype(dt).T, bin_adj, seed, *weights)
     return out.T
 
 

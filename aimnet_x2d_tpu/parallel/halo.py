@@ -51,10 +51,22 @@ class HaloStats:
         return self.halo_rows / max(self.total_atoms, 1)
 
 
-def _device_cuts(mol_of: np.ndarray, total_atoms: int, G: int) -> List[int]:
+def _device_cuts(
+    mol_of: np.ndarray,
+    total_atoms: int,
+    G: int,
+    cut_ok: "np.ndarray | None" = None,
+) -> List[int]:
     """Contiguous atom ranges per device, snapped down to molecule
     boundaries when one exists within the device's capacity (so whole
-    molecules stay on one device); otherwise the molecule is split."""
+    molecules stay on one device); otherwise the molecule is split.
+
+    ``cut_ok[c]`` (len total_atoms+1) marks positions where a cut may
+    land: when a molecule must be split, the cut slides down (then up) to
+    the nearest position that does not sever a stereo row's atom set —
+    the recovery path for stereo-bearing giant molecules.  Raises
+    ValueError only when no legal position exists in the device's range.
+    """
     boundaries = np.flatnonzero(np.diff(mol_of)) + 1  # molecule starts > 0
     cuts = [0]
     cur = 0
@@ -68,9 +80,50 @@ def _device_cuts(mol_of: np.ndarray, total_atoms: int, G: int) -> List[int]:
             hi = np.searchsorted(boundaries, end, side="right")
             if hi > lo:  # a molecule boundary exists in (cur, end]
                 end = int(boundaries[hi - 1])
+            elif cut_ok is not None and not cut_ok[end]:
+                # splitting a molecule mid-stereo-row: slide to the
+                # nearest safe position (down first — keeps devices
+                # under capacity — then up as a last resort)
+                down = end
+                while down > cur + 1 and not cut_ok[down]:
+                    down -= 1
+                up = end
+                while up < total_atoms and not cut_ok[up]:
+                    up += 1
+                if down > cur and cut_ok[down]:
+                    end = down
+                elif up < total_atoms or cut_ok[total_atoms]:
+                    end = up
+                else:
+                    raise ValueError(
+                        "stereo row spans a device boundary (a split molecule "
+                        "cut through a stereocenter) and no safe cut exists; "
+                        "repartition with fewer shards"
+                    )
         cuts.append(end)
         cur = end
     return cuts
+
+
+def _stereo_cut_ok(batch: MolBatch, total_atoms: int) -> np.ndarray:
+    """Positions where a device cut may land without severing any stereo
+    row: a cut at c splits row r iff min(r) < c <= max(r)."""
+    ok = np.ones(total_atoms + 1, bool)
+    for rows, mask in (
+        (batch.tet_nbrs, batch.tet_mask),
+        (batch.cis_pairs, batch.cis_mask),
+        (batch.trans_pairs, batch.trans_mask),
+    ):
+        real = np.asarray(rows)[np.asarray(mask)]
+        if not real.size:
+            continue
+        real = np.clip(real, 0, total_atoms - 1)
+        lo, hi = real.min(axis=1), real.max(axis=1)
+        delta = np.zeros(total_atoms + 2, np.int64)
+        np.add.at(delta, lo + 1, 1)
+        np.add.at(delta, hi + 1, -1)
+        ok &= np.cumsum(delta)[: total_atoms + 1] == 0
+    return ok
 
 
 def partition_halo(
@@ -113,7 +166,7 @@ def partition_halo(
         raise ValueError("packed atoms must be a prefix (collate layout)")
     mol_of = np.asarray(batch.atom_mol[:total_atoms])
 
-    cuts = _device_cuts(mol_of, total_atoms, G)
+    cuts = _device_cuts(mol_of, total_atoms, G, _stereo_cut_ok(batch, total_atoms))
     widths = [cuts[g + 1] - cuts[g] for g in range(G)]
 
     owner = np.searchsorted(np.asarray(cuts[1:]), np.arange(total_atoms), side="right")

@@ -54,6 +54,11 @@ PEAK_FP32 = 49e12
 def _flagship_config():
     from aimnet_x2d_tpu.models import GNNConfig
 
+    # BENCH_CHARGES_STEREO=1: BASELINE.json config 3 (3-hop MP with
+    # stereochemical features + partial-charge equilibration).  The
+    # per-layer charge/stereo injections run between single-layer MP
+    # megakernels instead of the fully-fused stack.
+    cs = os.environ.get("BENCH_CHARGES_STEREO", "0") == "1"
     return GNNConfig(
         hidden_dim=512,
         output_dim=12,
@@ -63,6 +68,8 @@ def _flagship_config():
         ffn_num_layers=3,
         pooling_type="attention",
         task_type="multitask",
+        use_partial_charges=cs,
+        use_stereochemistry=cs,
         activation_type=os.environ.get("BENCH_ACT", "silu"),
         shell_conv_dropout=0.0,
         ffn_dropout=0.0,
@@ -88,6 +95,8 @@ def train_step_flops(cfg, atoms: int, edges: int, graphs: int) -> float:
     per_layer = 2 * (2.0 * atoms * (2 * D) * D)  # input_proj + global_skip
     per_layer += cfg.shell_conv_num_mlp_layers * 2 * (2.0 * atoms * D * D)
     per_layer += 2.0 * edges * D  # edge gather + scatter-add
+    if cfg.use_stereochemistry:
+        per_layer += 2.0 * atoms * (3 * D) * D  # stereochemical_embedding_2
     mp = cfg.num_message_passing_layers * per_layer
     fwd += mp
     fwd += 2.0 * atoms * H * H  # concat_self_other
@@ -114,7 +123,12 @@ def measure(num_graphs: int):
     cfg = _flagship_config()
     model = GNN(cfg)
     batch = make_synthetic_batch(
-        num_graphs=num_graphs, mean_atoms=18, num_hops=NUM_HOPS, num_tasks=12, seed=0
+        num_graphs=num_graphs,
+        mean_atoms=18,
+        num_hops=NUM_HOPS,
+        num_tasks=12,
+        seed=0,
+        with_stereo=cfg.use_stereochemistry,
     )
     if os.environ.get("BENCH_BINNED", "1") == "1" and jax.default_backend() == "tpu":
         # bin-packed dense layout (data/binning.py): MP aggregation and

@@ -264,3 +264,62 @@ def test_proj_fold_equality(binned_batch):
     fr, fg = np.asarray(fr), np.asarray(fg)
     scale = np.maximum(np.abs(fr).max(), 1e-6)
     np.testing.assert_allclose(fg / scale, fr / scale, atol=1e-4)
+
+
+def test_dropout_per_layer_megakernel(binned_batch):
+    """Per-layer megakernel path (charges+stereo config) with training
+    dropout: in-kernel hash dropout engages, layers draw path-distinct
+    masks (flax make_rng), grads are finite, and rate=0 training equals
+    the deterministic forward."""
+    cfg = _cfg(
+        use_partial_charges=True, use_stereochemistry=True,
+        shell_conv_dropout=0.2,
+    )
+    model = GNN(cfg)
+    os.environ["AIMNET_MP_MEGAKERNEL"] = "interpret"
+    try:
+        params = model.init(jax.random.PRNGKey(0), binned_batch)
+
+        def run(key):
+            return model.apply(
+                params, binned_batch, deterministic=False,
+                rngs={"dropout": key},
+            ).predictions
+
+        a = np.asarray(run(jax.random.PRNGKey(1)))
+        b = np.asarray(run(jax.random.PRNGKey(1)))
+        c = np.asarray(run(jax.random.PRNGKey(2)))
+        np.testing.assert_array_equal(a, b)
+        assert not np.array_equal(a, c)
+
+        # gradient flows through the in-kernel dropout
+        def loss(p):
+            out = model.apply(
+                p, binned_batch, deterministic=False,
+                rngs={"dropout": jax.random.PRNGKey(3)},
+            ).predictions
+            return jnp.sum(out**2)
+
+        g = jax.grad(loss)(params)
+        flat, _ = jax.flatten_util.ravel_pytree(g)
+        assert np.all(np.isfinite(np.asarray(flat)))
+
+        # rate-0 training mode equals the deterministic forward exactly
+        cfg0 = _cfg(
+            use_partial_charges=True, use_stereochemistry=True,
+            shell_conv_dropout=0.0,
+        )
+        m0 = GNN(cfg0)
+        p0 = m0.init(jax.random.PRNGKey(0), binned_batch)
+        det = np.asarray(
+            m0.apply(p0, binned_batch, deterministic=True).predictions
+        )
+        trn = np.asarray(
+            m0.apply(
+                p0, binned_batch, deterministic=False,
+                rngs={"dropout": jax.random.PRNGKey(4)},
+            ).predictions
+        )
+        np.testing.assert_array_equal(det, trn)
+    finally:
+        os.environ.pop("AIMNET_MP_MEGAKERNEL", None)

@@ -186,16 +186,55 @@ def test_loader_halo_shards(rng):
     assert len(shapes) == 1  # pinned static shapes across steps
 
 
-def test_stereo_spanning_split_raises(rng):
-    """A stereo row crossing the partition cut must be rejected loudly."""
+def test_stereo_spanning_split_recovers(rng):
+    """A stereo row that would straddle a cut slides the cut to a safe
+    position instead of aborting (round-3 recovery; the abort remains only
+    when no safe cut exists), and the recovered partition still reproduces
+    single-device numerics."""
     big = _random_mol(rng, n_atoms=64, num_hops=2)
-    # place a tetrahedral center whose neighbors straddle the midpoint cut
+    # a tetrahedral center whose neighbors straddle the midpoint cut
     big.tet_nbrs = np.array([[30, 31, 32, 33]], np.int32)
+    big.cis_pairs = np.zeros((0, 2), np.int32)
+    big.trans_pairs = np.zeros((0, 2), np.int32)
     mols = [big]
     targets = rng.normal(size=(1, 2)).astype(np.float32)
     batch = collate(mols, targets, num_hops=2)
-    with pytest.raises(ValueError, match="boundary"):
-        partition_halo(batch, 4)
+    stacked, stats = partition_halo(batch, 4, return_stats=True)
+    assert stats.split_molecules == 1  # still split, just at safe offsets
+
+    cfg = dataclasses.replace(CFG, use_stereochemistry=True)
+    model = GNN(cfg)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    ref = model.apply(params, batch, deterministic=True).predictions
+    mesh = create_mesh(num_data=2, num_graph=4)
+    out = _halo_forward(cfg, params, stacked, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=1e-6)
+
+
+def test_stereo_unsplittable_degrades_gracefully(rng):
+    """When EVERY interior position severs some stereo row, the cut slides
+    to the end of the molecule — the partition degenerates (one device
+    holds it whole, others go empty) instead of aborting, and numerics
+    still match single-device."""
+    big = _random_mol(rng, n_atoms=32, num_hops=2)
+    # overlapping tet rows covering every interior cut position
+    rows = [[i, i + 1, i + 2, i + 3] for i in range(0, 29)]
+    big.tet_nbrs = np.array(rows, np.int32)
+    big.cis_pairs = np.zeros((0, 2), np.int32)
+    big.trans_pairs = np.zeros((0, 2), np.int32)
+    batch = collate([big], rng.normal(size=(1, 2)).astype(np.float32), num_hops=2)
+    stacked, stats = partition_halo(batch, 4, return_stats=True)
+    assert stats.split_molecules == 0  # collapsed, not severed
+    per_dev = np.asarray(stacked.atom_mask).sum(axis=1)
+    assert per_dev[0] == 32 and per_dev[1:].sum() == 0
+
+    cfg = dataclasses.replace(CFG, use_stereochemistry=True)
+    model = GNN(cfg)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    ref = model.apply(params, batch, deterministic=True).predictions
+    mesh = create_mesh(num_data=2, num_graph=4)
+    out = _halo_forward(cfg, params, stacked, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=1e-6)
 
 
 def test_edge_and_halo_shards_exclusive(rng):
