@@ -483,10 +483,8 @@ class GNN(nn.Module):
                 xT = yT + xT
             x_other = xT.T.astype(x_other.dtype)
         if use_inject_stack:
-            from ..ops.bin_mp import binned_mp_layer_ext_t
-            from ..ops.halo import binned_local_agg_t
+            from ..ops.bin_mp import binned_mp_layer_t
 
-            _, ab_i, _ = batch.bin_adj.shape
             dtc = cdt if cdt is not None else jnp.float32
             ws_layers = [
                 ShellConvolutionLayer(
@@ -520,17 +518,17 @@ class GNN(nn.Module):
                     xoT = self._charge_equilibration_t(batch, xoT)
                 if cfg.use_stereochemistry:
                     xoT = self._stereochemistry_t(batch, xoT, stereo_proj, stereo_ctx)
-                aggT = binned_local_agg_t(xoT, batch.bin_adj, dtc)
-                xaT = jnp.concatenate([xoT.astype(dtc), aggT.astype(dtc)], axis=0)
                 seed_l = None
                 if base_seed is not None:
                     tag = ((l + 1) * 0x9E3779B9) & 0xFFFFFFFF
                     tag = tag - (1 << 32) if tag >= (1 << 31) else tag
                     seed_l = base_seed + jnp.int32(tag)
-                yT = binned_mp_layer_ext_t(
-                    xaT,
+                # single chip: no collective to overlap, so the per-bin
+                # aggregation stays in VMEM inside the kernel
+                yT = binned_mp_layer_t(
+                    xoT,
+                    batch.bin_adj,
                     ws,
-                    ab=ab_i,
                     act=cfg.activation_type,
                     num_mlp_layers=cfg.shell_conv_num_mlp_layers,
                     compute_dtype=dtc,
