@@ -193,6 +193,22 @@ def main():
         print(json.dumps(r))
         return
 
+    if os.environ.get("BENCH_PARITY", "0") == "1":
+        # On-device Mosaic-vs-XLA kernel parity gate (VERDICT r2 weak #2):
+        # fwd+grad equality of every kernel fold against the pure-XLA path
+        # on real hardware, in a fresh subprocess (env-toggled paths).
+        out = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(REPO, "benchmarks", "tpu_kernel_parity.py"),
+            ],
+            text=True,
+        )
+        if out.returncode != 0:
+            print("BENCH INVALID: on-device kernel parity FAILED", file=sys.stderr)
+            sys.exit(1)
+        print("# kernel parity: PASS (Mosaic vs XLA fwd+grad)", file=sys.stderr)
+
     r = measure(NUM_GRAPHS)
     print(
         f"# graphs={r['graphs']} atoms={r['atoms']} edges={r['edges']} "
