@@ -157,6 +157,67 @@ def predict_batches(model: GNN, params, loader, *, mesh=None):
     return np.concatenate(preds_list), np.concatenate(tgt_list)
 
 
+class MetricAccumulator:
+    """Streaming per-task sufficient statistics for MAE / RMSE / R².
+
+    Holds O(T) state regardless of split size (VERDICT r2 weak #6: the
+    round-2 evaluate concatenated the whole split on host — a memory
+    cliff for foundation-scale eval sets).  The finalized numbers equal
+    :func:`compute_metrics` on the concatenated arrays exactly (same
+    formulas; float64 accumulation):  R² = 1 − SSres/SStot with
+    SStot = Σt² − (Σt)²/n.
+    """
+
+    def __init__(self, num_tasks: int):
+        self.n = 0.0
+        self.abs_err = np.zeros(num_tasks, np.float64)
+        self.sq_err = np.zeros(num_tasks, np.float64)
+        self.t_sum = np.zeros(num_tasks, np.float64)
+        self.t_sq = np.zeros(num_tasks, np.float64)
+
+    def update(self, preds: np.ndarray, targets: np.ndarray) -> None:
+        p = np.asarray(preds, np.float64)
+        t = np.asarray(targets, np.float64)
+        e = p - t
+        self.n += len(p)
+        self.abs_err += np.abs(e).sum(axis=0)
+        self.sq_err += (e**2).sum(axis=0)
+        self.t_sum += t.sum(axis=0)
+        self.t_sq += (t**2).sum(axis=0)
+
+    def state(self) -> np.ndarray:
+        return np.concatenate(
+            [[self.n], self.abs_err, self.sq_err, self.t_sum, self.t_sq]
+        )
+
+    def merge_state(self, state: np.ndarray) -> None:
+        T = len(self.abs_err)
+        self.n += state[0]
+        self.abs_err += state[1 : 1 + T]
+        self.sq_err += state[1 + T : 1 + 2 * T]
+        self.t_sum += state[1 + 2 * T : 1 + 3 * T]
+        self.t_sq += state[1 + 3 * T : 1 + 4 * T]
+
+    def finalize(self, per_task: bool = True) -> Dict[str, Any]:
+        n = max(self.n, 1.0)
+        mae_t = self.abs_err / n
+        rmse_t = np.sqrt(self.sq_err / n)
+        ss_tot = self.t_sq - self.t_sum**2 / n
+        r2_t = np.where(ss_tot > 0, 1.0 - self.sq_err / np.where(ss_tot > 0, ss_tot, 1.0), 0.0)
+        out: Dict[str, Any] = {
+            "mae": float(mae_t.mean()),
+            "rmse": float(rmse_t.mean()),
+            "r2": float(r2_t.mean()),
+        }
+        if per_task and len(mae_t) > 1:
+            out["per_task"] = {
+                "mae": [float(v) for v in mae_t],
+                "rmse": [float(v) for v in rmse_t],
+                "r2": [float(v) for v in r2_t],
+            }
+        return out
+
+
 def evaluate(
     model: GNN,
     params,
@@ -167,7 +228,11 @@ def evaluate(
     pipeline=None,
     mesh=None,
 ) -> Dict[str, Any]:
-    """Loss (on preprocessed scale) + metrics (on inverse-transformed scale)."""
+    """Loss (on preprocessed scale) + metrics (on inverse-transformed
+    scale), STREAMING: per-batch host state is O(batch), global state is
+    O(tasks) — no whole-split materialization.  The chunk-weighted loss
+    mean and the accumulator metrics equal the one-shot computation up to
+    float reassociation."""
     if loss_fn is None:
         assert config is not None
         loss_fn = create_loss_function(
@@ -177,33 +242,68 @@ def evaluate(
             lambda_reg=getattr(config, "evidential_lambda", 1.0),
         )
 
-    preds, targets = predict_batches(model, params, loader, mesh=mesh)
+    fwd = _forward_fn(model)
+    sharded_fwd = None
+    acc: Optional[MetricAccumulator] = None
+    loss_sum = 0.0
+    n_sum = 0.0
+    for batch in loader:
+        stacked = batch.atom_type.ndim == 2
+        if stacked and mesh is not None:
+            if sharded_fwd is None:
+                sharded_fwd = sharded_forward_fn(model, mesh)
+            preds = sharded_fwd(params, batch)
+        elif stacked:
+            preds = jax.vmap(lambda b: fwd(params, b))(batch)
+        else:
+            preds = fwd(params, batch)
+        preds = np.asarray(preds)
+        if stacked:
+            mask = np.asarray(batch.graph_mask).reshape(-1)
+            preds = preds.reshape(-1, preds.shape[-1])
+            targets = np.asarray(batch.targets).reshape(-1, batch.targets.shape[-1])
+        else:
+            mask = np.asarray(batch.graph_mask)
+            targets = np.asarray(batch.targets)
+        p, t = preds[mask], targets[mask]
+        n = len(p)
+        if n == 0:
+            continue
+        loss_sum += n * float(
+            loss_fn(jnp.asarray(p), jnp.asarray(t), jnp.ones(n, bool))
+        )
+        n_sum += n
+
+        # Evidential models: metrics on the γ head
+        # (reference: src/training/evaluator.py:84-101)
+        T = t.shape[1]
+        pm = p.reshape(n, T, 4)[:, :, 0] if p.shape[1] == 4 * T else p
+        if pipeline is not None:
+            pm = pipeline.inverse_transform(pm)
+            t = pipeline.inverse_transform(t)
+        if acc is None:
+            acc = MetricAccumulator(T)
+        acc.update(pm, t)
+
     if jax.process_count() > 1:
-        # Each host evaluated its data shard; assemble the global arrays so
-        # every host reports identical metrics (reference gathers to rank 0
-        # and pickle-broadcasts the dict, src/training/evaluator.py:158-187;
-        # an allgather gives the same result without the asymmetry).
+        # Each host evaluated its data shard; merge the O(T) sufficient
+        # statistics so every host reports identical metrics (reference
+        # gathers full arrays to rank 0 and pickle-broadcasts the dict,
+        # src/training/evaluator.py:158-187).
         from ..parallel import multihost
 
-        preds = multihost.allgather_numpy(preds)
-        targets = multihost.allgather_numpy(targets)
-    mask = np.ones(len(preds), bool)
-    loss = float(
-        loss_fn(jnp.asarray(preds), jnp.asarray(targets), jnp.asarray(mask))
-    )
+        if acc is None:
+            acc = MetricAccumulator(int(loader.ds.num_tasks) if hasattr(loader, "ds") else 1)
+        states = multihost.allgather_numpy(
+            np.concatenate([[loss_sum, n_sum], acc.state()])
+        ).reshape(jax.process_count(), -1)
+        loss_sum = float(states[:, 0].sum())
+        n_sum = float(states[:, 1].sum())
+        merged = MetricAccumulator(len(acc.abs_err))
+        for row in states:
+            merged.merge_state(row[2:])
+        acc = merged
 
-    # Evidential models: metrics on the γ head
-    # (reference: src/training/evaluator.py:84-101)
-    T = targets.shape[1]
-    if preds.shape[1] == 4 * T:
-        preds_mean = preds.reshape(len(preds), T, 4)[:, :, 0]
-    else:
-        preds_mean = preds
-
-    if pipeline is not None:
-        preds_mean = pipeline.inverse_transform(preds_mean)
-        targets = pipeline.inverse_transform(targets)
-
-    metrics = compute_metrics(preds_mean, targets)
-    metrics["loss"] = loss
+    metrics = acc.finalize() if acc is not None else {"mae": 0.0, "rmse": 0.0, "r2": 0.0}
+    metrics["loss"] = loss_sum / max(n_sum, 1.0)
     return metrics

@@ -121,3 +121,38 @@ def test_multihost_single_process_helpers():
     obj = {"k": [1, 2, 3]}
     assert mh.broadcast_pyobj(obj) == obj
     mh.sync()
+
+
+def test_metric_accumulator_matches_oneshot():
+    """Streaming MetricAccumulator (chunked + multihost-merged) must equal
+    compute_metrics on the concatenated arrays."""
+    import numpy as np
+
+    from aimnet_x2d_tpu.training.evaluator import (
+        MetricAccumulator,
+        compute_metrics,
+    )
+
+    rng = np.random.default_rng(3)
+    preds = rng.normal(size=(101, 4))
+    targets = rng.normal(size=(101, 4)) + 0.5 * preds
+
+    one = compute_metrics(preds, targets)
+
+    acc = MetricAccumulator(4)
+    for lo in range(0, 101, 17):  # ragged chunks
+        acc.update(preds[lo : lo + 17], targets[lo : lo + 17])
+    got = acc.finalize()
+    assert np.isclose(got["mae"], one["mae"])
+    assert np.isclose(got["rmse"], one["rmse"])
+    assert np.isclose(got["r2"], one["r2"])
+    np.testing.assert_allclose(got["per_task"]["r2"], one["per_task"]["r2"])
+
+    # two-host merge path
+    a, b = MetricAccumulator(4), MetricAccumulator(4)
+    a.update(preds[:40], targets[:40])
+    b.update(preds[40:], targets[40:])
+    a.merge_state(b.state())
+    got2 = a.finalize()
+    np.testing.assert_allclose(got2["per_task"]["mae"], one["per_task"]["mae"])
+    np.testing.assert_allclose(got2["per_task"]["r2"], one["per_task"]["r2"])
