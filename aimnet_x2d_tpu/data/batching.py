@@ -121,6 +121,12 @@ class MolBatch(struct.PyTreeNode):
     # indices_are_sorted=True (measured ~1.8x faster scatter on TPU v5e).
     edges_dst_sorted: bool = struct.field(pytree_node=False, default=False)
 
+    # True when the flat edge arrays were dropped (8 empty slots): on the
+    # binned path bin_adj carries every edge, and the flat lists are ~40%
+    # of the host→device bytes per batch.  Parity-mode consumers only
+    # (models/gnn.py guards — the per-hop path needs real edge lists).
+    edges_slim: bool = struct.field(pytree_node=False, default=False)
+
     # Fused-kernel edge layouts (ops/fused_edge.py): window-grouped one-hot
     # MXU aggregation replacing XLA's slow row gather+scatter.  Built by
     # loaders on TPU (attach_fused_layouts); None elsewhere.

@@ -278,3 +278,24 @@ def bin_pack_batch(
         fused_fwd=None,
         fused_bwd=None,
     )
+
+
+def slim_binned_edges(batch: MolBatch) -> MolBatch:
+    """Drop the flat edge arrays from a binned batch: ``bin_adj`` already
+    carries every edge with multiplicity, and the flat lists cost ~40% of
+    the batch's host→device transfer (measured dominant on remote-attached
+    TPUs; see BASELINE.md config 4).  Legal only for parity-mode models
+    (models/gnn.py raises otherwise — true per-hop aggregation needs the
+    hop-tagged edge lists).  Handles stacked (lead..., E) batches."""
+    if batch.bin_adj is None:
+        raise ValueError("slim_binned_edges requires the binned layout")
+    lead = batch.edge_src.shape[:-1]
+    A = batch.num_atom_slots
+    return dataclasses.replace(
+        batch,
+        edge_src=np.zeros(lead + (8,), np.int32),
+        edge_dst=np.full(lead + (8,), A, np.int32),
+        edge_hop=np.zeros(lead + (8,), np.int32),
+        edge_mask=np.zeros(lead + (8,), bool),
+        edges_slim=True,
+    )

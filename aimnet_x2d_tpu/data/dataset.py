@@ -162,6 +162,7 @@ class BatchLoader:
         binned: "bool | None" = None,
         bin_ab: int = 256,
         bin_mb: int = 48,
+        slim_edges: "bool | None" = None,
     ):
         if edge_shards > 1 and halo_shards > 1:
             raise ValueError("edge_shards and halo_shards are exclusive graph-axis modes")
@@ -235,6 +236,16 @@ class BatchLoader:
             )
         self.fused_edges = fused_edges and not binned
         self._fused_pins: dict = {}
+        # drop flat edge arrays from binned device batches (~40% of the
+        # per-batch host→device bytes; bin_adj carries every edge).  Halo
+        # shards keep them (their flat fallback path is load-bearing).
+        if slim_edges is None:
+            import jax as _j2
+
+            slim_edges = (
+                binned and halo_shards == 1 and _j2.default_backend() == "tpu"
+            )
+        self.slim_edges = bool(slim_edges) and binned and halo_shards == 1
         # running per-device slot minimums so halo batches keep one static
         # shape once warmed (partition_halo treats these as minimums)
         self._halo_slots: dict = {}
@@ -480,6 +491,15 @@ class BatchLoader:
         return grow_bins(shard, target_bins, target_mb)
 
     def __iter__(self) -> Iterator[MolBatch]:
+        if self.slim_edges:
+            from .binning import slim_binned_edges
+
+            for b in self._iter_impl():
+                yield slim_binned_edges(b)
+        else:
+            yield from self._iter_impl()
+
+    def _iter_impl(self) -> Iterator[MolBatch]:
         for idx in self._batch_indices():
             if self.stack_devices:
                 # Split across devices and stack on a leading device axis

@@ -158,6 +158,12 @@ class GNN(nn.Module):
         # longer Mosaic remote-compiles for <1 ms/batch (policy fns in
         # ops/bin_attnpool.py / ops/bin_mp.py; env overrides for tests).
         cfg = self.config
+        if batch.edges_slim and not cfg.parity_mode:
+            raise ValueError(
+                "slim binned batches drop the flat edge lists; true per-hop "
+                "aggregation (parity_mode=False) needs them — load with "
+                "slim_edges=False"
+            )
         act = get_activation_function(cfg.activation_type)
         feature_sizes = dict(cfg.feature_sizes)
         A = batch.atom_type.shape[0]

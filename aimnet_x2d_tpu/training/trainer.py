@@ -226,44 +226,69 @@ def make_train_step(
 
 
 def prefetch_batches(loader, sharding=None, size: int = 2):
-    """Background-thread prefetch: collate the next batches while the device
-    computes, `jax.device_put` them ahead of use (with ``sharding`` when
-    given, so shard_mapped steps see correctly-placed inputs), and count
-    real edges on host before the transfer.
+    """Two-stage background prefetch: one thread collates, a second
+    `jax.device_put`s (with ``sharding`` when given, so shard_mapped steps
+    see correctly-placed inputs) — the pipeline rate is
+    max(collate, transfer, device-step) instead of their sum, which
+    matters when the host↔device link is slow (remote-attached TPUs:
+    BASELINE.md config 4 measured transfer ≈ 4× collate time).
 
     Yields (device_batch, real_edge_count).  The reference's DataLoader
     worker processes play this role (SURVEY §7: double-buffered host
-    prefetch); here one thread suffices because collation is numpy-bound.
+    prefetch).
     """
     import queue
     import threading
 
-    q: "queue.Queue" = queue.Queue(maxsize=size)
+    q_host: "queue.Queue" = queue.Queue(maxsize=size)
+    q_dev: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
     errors: List[BaseException] = []
 
-    def worker():
+    def collate_worker():
         try:
             for batch in loader:
-                edges = int(np.sum(np.asarray(batch.edge_mask)))
+                if batch.edges_slim:
+                    # slim binned batches: real-edge count = Σ multiplicity
+                    edges = int(np.asarray(batch.bin_adj, np.int64).sum())
+                    if batch.halo_adj is not None:
+                        edges += int(np.asarray(batch.halo_adj, np.int64).sum())
+                else:
+                    edges = int(np.sum(np.asarray(batch.edge_mask)))
+                q_host.put((batch, edges))
+        except BaseException as e:  # surface collate errors in the main thread
+            errors.append(e)
+        finally:
+            q_host.put(sentinel)
+
+    def transfer_worker():
+        try:
+            while True:
+                item = q_host.get()
+                if item is sentinel or errors:
+                    break
+                batch, edges = item
                 if sharding is not None:
                     batch = jax.device_put(batch, sharding)
                 else:
                     batch = jax.device_put(batch)
-                q.put((batch, edges))
-        except BaseException as e:  # surface collate errors in the main thread
+                q_dev.put((batch, edges))
+        except BaseException as e:
             errors.append(e)
         finally:
-            q.put(sentinel)
+            q_dev.put(sentinel)
 
-    t = threading.Thread(target=worker, daemon=True)
-    t.start()
+    t1 = threading.Thread(target=collate_worker, daemon=True)
+    t2 = threading.Thread(target=transfer_worker, daemon=True)
+    t1.start()
+    t2.start()
     while True:
-        item = q.get()
+        item = q_dev.get()
         if item is sentinel:
             break
         yield item
-    t.join()
+    t1.join()
+    t2.join()
     if errors:
         raise errors[0]
 

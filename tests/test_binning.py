@@ -199,3 +199,41 @@ def test_warm_bin_pins_exact():
     assert loader._bin_pins == seeded
     assert len(shapes) == 1
     assert shapes.pop() == (seeded["bins"], seeded["mb"])
+
+
+def test_slim_binned_edges_model_equality(rng, monkeypatch):
+    """Slim batches (flat edges dropped) must produce the identical model
+    output on the binned path, raise for per-hop (non-parity) models, and
+    carry the right static flag."""
+    import dataclasses as dc
+
+    monkeypatch.setenv("AIMNET_MP_MEGAKERNEL", "interpret")
+    import jax
+
+    from aimnet_x2d_tpu.data.binning import bin_pack_batch, slim_binned_edges
+    from aimnet_x2d_tpu.data.synthetic import make_synthetic_batch
+    from aimnet_x2d_tpu.models import GNN, GNNConfig
+
+    batch = bin_pack_batch(
+        make_synthetic_batch(num_graphs=12, num_hops=2, num_tasks=2, seed=5),
+        ab=32,
+        mb=8,
+    )
+    slim = slim_binned_edges(batch)
+    assert slim.edges_slim and slim.edge_src.shape == (8,)
+
+    cfg = GNNConfig(
+        hidden_dim=32, output_dim=2, num_shells=2,
+        num_message_passing_layers=2, embedding_dim=8,
+        pooling_type="attention", task_type="multitask",
+        shell_conv_dropout=0.0, ffn_dropout=0.0,
+    )
+    model = GNN(cfg)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    full = model.apply(params, batch, deterministic=True).predictions
+    thin = model.apply(params, slim, deterministic=True).predictions
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(thin))
+
+    hop_model = GNN(dc.replace(cfg, parity_mode=False))
+    with pytest.raises(ValueError, match="slim"):
+        hop_model.init(jax.random.PRNGKey(0), slim)
