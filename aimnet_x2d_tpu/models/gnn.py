@@ -59,6 +59,20 @@ DEFAULT_FEATURE_SIZES: Dict[str, int] = {
 }
 
 
+def _layer_drop_seed(base_seed, l: int):
+    """Per-layer dropout seed for the single-layer kernel entry points.
+
+    The in-kernel hash mixes the BLOCK tag into the seed as
+    ``seed + block_i·0x9E3779B9`` (ops/bin_mp.py::_dropout_mask), so the
+    layer mix here must use a DIFFERENT odd constant: folding
+    ``(l+1)·0x9E3779B9`` into the seed made layer l / block i and layer
+    l+1 / block i−1 draw identical masks (ADVICE r3 medium finding).
+    """
+    tag = ((l + 1) * 0x27D4EB2F) & 0xFFFFFFFF
+    tag = tag - (1 << 32) if tag >= (1 << 31) else tag
+    return base_seed + jnp.int32(tag)
+
+
 @dataclasses.dataclass(frozen=True)
 class GNNConfig:
     """Static model configuration (mirrors reference GNN.__init__ args)."""
@@ -470,11 +484,9 @@ class GNN(nn.Module):
                 xaT = jnp.concatenate([xT, aggT.astype(dtc)], axis=0)
                 seed_l = None
                 if base_seed is not None:
-                    # distinct per-layer tag (the ext kernel tags only
-                    # blocks within one layer); int32 wraparound is fine
-                    tag = ((l + 1) * 0x9E3779B9) & 0xFFFFFFFF
-                    tag = tag - (1 << 32) if tag >= (1 << 31) else tag
-                    seed_l = base_seed + jnp.int32(tag)
+                    # distinct per-layer seed (the ext kernel tags only
+                    # blocks within one layer)
+                    seed_l = _layer_drop_seed(base_seed, l)
                 yT = binned_mp_layer_ext_t(
                     xaT,
                     ws,
@@ -526,9 +538,7 @@ class GNN(nn.Module):
                     xoT = self._stereochemistry_t(batch, xoT, stereo_proj, stereo_ctx)
                 seed_l = None
                 if base_seed is not None:
-                    tag = ((l + 1) * 0x9E3779B9) & 0xFFFFFFFF
-                    tag = tag - (1 << 32) if tag >= (1 << 31) else tag
-                    seed_l = base_seed + jnp.int32(tag)
+                    seed_l = _layer_drop_seed(base_seed, l)
                 # single chip: no collective to overlap, so the per-bin
                 # aggregation stays in VMEM inside the kernel
                 yT = binned_mp_layer_t(

@@ -91,6 +91,9 @@ def attnpool_kernel_enabled(train_mode: bool = True) -> str | None:
     return None
 
 
+_FALLBACK_WARNED: set = set()
+
+
 def _f32dot(a, b):  # (M, K) @ (K, N) → fp32
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
@@ -454,6 +457,20 @@ def binned_attnpool_proj_t(
     nb, mb, ab = pool_mat.shape
     if (_pick_group(nb, mb, ab, interpret) is None
             or _pick_group(nb, mb, ab, interpret, bwd=True) is None):
+        # One-time notice (ADVICE r2): the caller silently falls back to
+        # the unfused XLA path, which is correct but slower — surface why.
+        key = (nb, mb, ab)
+        if key not in _FALLBACK_WARNED:
+            _FALLBACK_WARNED.add(key)
+            import sys
+
+            print(
+                f"aimnet_x2d_tpu: attnpool fused kernel disabled for bin "
+                f"layout (nb={nb}, mb={mb}, ab={ab}) — no lane-window "
+                f"grouping with G*ab and G*mb multiples of 128; using the "
+                f"unfused XLA pooling path",
+                file=sys.stderr,
+            )
         return None
     if embed_spec is not None:
         codes, bd_t, vocab_sizes = embed_spec

@@ -293,7 +293,18 @@ def evaluate(
         from ..parallel import multihost
 
         if acc is None:
-            acc = MetricAccumulator(int(loader.ds.num_tasks) if hasattr(loader, "ds") else 1)
+            # Empty local shard: every host must still contribute a state
+            # vector of the SAME length (1 + 4·T), so derive T from the
+            # loader's dataset — `.ds` on HDF5BatchLoader, `.dataset` on
+            # the in-memory BatchLoader (ADVICE r3: a 1-task fallback
+            # breaks the allgather reshape when num_tasks > 1).
+            src = getattr(loader, "ds", None) or getattr(loader, "dataset", None)
+            if src is None or not hasattr(src, "num_tasks"):
+                raise ValueError(
+                    "evaluate(): empty eval shard and the loader exposes no "
+                    "dataset with num_tasks — cannot size the metric state"
+                )
+            acc = MetricAccumulator(int(src.num_tasks))
         states = multihost.allgather_numpy(
             np.concatenate([[loss_sum, n_sum], acc.state()])
         ).reshape(jax.process_count(), -1)

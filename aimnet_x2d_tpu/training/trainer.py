@@ -248,6 +248,10 @@ def prefetch_batches(loader, sharding=None, size: int = 2):
     def collate_worker():
         try:
             for batch in loader:
+                if errors:
+                    # transfer died: stop producing (its drain loop keeps
+                    # q_host from filling while we get here)
+                    break
                 if batch.edges_slim:
                     # slim binned batches: real-edge count = Σ multiplicity
                     edges = int(np.asarray(batch.bin_adj, np.int64).sum())
@@ -262,10 +266,14 @@ def prefetch_batches(loader, sharding=None, size: int = 2):
             q_host.put(sentinel)
 
     def transfer_worker():
+        saw_sentinel = False
         try:
             while True:
                 item = q_host.get()
-                if item is sentinel or errors:
+                if item is sentinel:
+                    saw_sentinel = True
+                    break
+                if errors:
                     break
                 batch, edges = item
                 if sharding is not None:
@@ -276,6 +284,12 @@ def prefetch_batches(loader, sharding=None, size: int = 2):
         except BaseException as e:
             errors.append(e)
         finally:
+            # Drain q_host until the collate sentinel so a transfer error
+            # (e.g. device_put OOM) can't leave the collate worker blocked
+            # on a full queue → main-thread join() deadlock (ADVICE r3).
+            while not saw_sentinel:
+                if q_host.get() is sentinel:
+                    saw_sentinel = True
             q_dev.put(sentinel)
 
     t1 = threading.Thread(target=collate_worker, daemon=True)

@@ -1,4 +1,4 @@
-"""Regression tests for the round-1 code-review findings."""
+"""Regression tests for the round-1 and round-3 code-review findings."""
 
 import dataclasses
 
@@ -175,3 +175,118 @@ def test_trainer_resume_restores_lr(tmp_path, rng):
     # epoch 4's post-step lr must continue the decay: 1e-3 * 0.5^5
     assert abs(r3.history[0]["lr"] - 1e-3 * 0.5**5) < 1e-12
     ck.close()
+
+
+# --------------------------------------------------------------------- #
+# Round-3 ADVICE regressions
+# --------------------------------------------------------------------- #
+
+
+def test_layer_dropout_seed_no_block_aliasing():
+    """ADVICE r3 (medium): per-layer seed mixed with the SAME odd constant
+    as the kernel's block tag made (layer l, block i) and (layer l+1,
+    block i-1) draw identical dropout masks."""
+    from aimnet_x2d_tpu.models.gnn import _layer_drop_seed
+    from aimnet_x2d_tpu.ops.bin_mp import _dropout_mask
+
+    base = jnp.asarray([12345], jnp.int32)
+    shape = (8, 128)
+
+    def mask(l, block, seed_fn):
+        seed = jnp.uint32(seed_fn(base, l)[0])
+        return np.asarray(_dropout_mask(shape, 0.5, seed, block, jnp.uint32(0)))
+
+    # the OLD scheme aliased — sanity-check the test catches exactly that
+    def old_seed(b, l):
+        tag = ((l + 1) * 0x9E3779B9) & 0xFFFFFFFF
+        tag = tag - (1 << 32) if tag >= (1 << 31) else tag
+        return b + jnp.int32(tag)
+
+    assert np.array_equal(mask(0, 1, old_seed), mask(1, 0, old_seed))
+    # the fixed scheme must not
+    assert not np.array_equal(
+        mask(0, 1, _layer_drop_seed), mask(1, 0, _layer_drop_seed)
+    )
+    # and stays deterministic per (layer, block)
+    assert np.array_equal(
+        mask(2, 1, _layer_drop_seed), mask(2, 1, _layer_drop_seed)
+    )
+
+
+def test_prefetch_transfer_error_propagates():
+    """ADVICE r3 (medium): a transfer-thread failure must raise in the
+    consumer, not deadlock the collate thread on a full queue."""
+    import threading
+
+    from aimnet_x2d_tpu.training.trainer import prefetch_batches
+
+    class FakeBatch:
+        edges_slim = False
+        edge_mask = np.ones(4, bool)
+
+    loader = [FakeBatch() for _ in range(16)]
+    result = {}
+
+    def run():
+        try:
+            # bogus sharding -> jax.device_put raises inside the worker
+            list(prefetch_batches(loader, sharding=object(), size=2))
+            result["raised"] = None
+        except BaseException as e:  # noqa: BLE001 - asserting propagation
+            result["raised"] = e
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout=60)
+    assert not t.is_alive(), "prefetch deadlocked on transfer error"
+    assert result["raised"] is not None
+
+
+def test_evaluate_empty_shard_multihost_state_length(monkeypatch, rng):
+    """ADVICE r3 (low): a host with an empty eval shard must size its
+    metric state from the loader's dataset (1+4T), not a 1-task fallback
+    that breaks the cross-host state merge."""
+    from aimnet_x2d_tpu.parallel import multihost
+    from aimnet_x2d_tpu.training import evaluator as ev
+
+    T = 3
+    n = 4
+    mols = [_random_mol(np.random.default_rng(0), n_atoms=6, num_hops=2)
+            for _ in range(n)]
+    ds = MoleculeDataset(
+        smiles=["x"] * n,
+        targets=np.random.default_rng(0).normal(size=(n, T)).astype(np.float32),
+        features=mols,
+        max_hops=2,
+    )
+
+    class EmptyLoader:  # this host's shard yields no real samples
+        def __init__(self, dataset):
+            self.dataset = dataset
+
+        def __iter__(self):
+            return iter([])
+
+    captured = {}
+
+    def fake_allgather(x):
+        captured["len"] = len(x)
+        # emulate a 2nd host that saw 2 samples with unit stats
+        other = np.zeros_like(x)
+        other[1] = 2.0  # n_sum
+        other[2] = 2.0  # acc.n
+        return np.concatenate([x, other])
+
+    monkeypatch.setattr(ev.jax, "process_count", lambda: 2)
+    monkeypatch.setattr(multihost, "allgather_numpy", fake_allgather)
+
+    cfg = GNNConfig(
+        hidden_dim=16, output_dim=T, num_shells=2,
+        num_message_passing_layers=1, embedding_dim=4, ffn_num_layers=1,
+        task_type="multitask", pooling_type="mean",
+    )
+    metrics = ev.evaluate(GNN(cfg), None, EmptyLoader(ds), config=None,
+                          loss_fn=lambda p, t, m: jnp.float32(0.0))
+    # state vector = [loss_sum, n_sum] + MetricAccumulator state (1 + 4T)
+    assert captured["len"] == 3 + 4 * T
+    assert "mae" in metrics
