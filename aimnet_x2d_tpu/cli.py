@@ -111,6 +111,12 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--num_workers", type=int, default=4)
     g.add_argument("--num_devices", type=int, default=None,
                    help="data-parallel devices (default: all visible)")
+    g.add_argument("--graph_shards", type=int, default=1,
+                   help="TPU-native: shard each molecule batch's atoms+edges "
+                   "over this many devices along the mesh 'graph' axis with "
+                   "boundary-atom halo exchange (parallel/halo.py); composes "
+                   "with --num_devices data shards — total devices = "
+                   "num_devices x graph_shards")
     g.add_argument("--mixed_precision", action="store_true",
                    help="bfloat16 matmuls on TPU")
     g.add_argument("--gradient_checkpointing", action="store_true",

@@ -70,6 +70,27 @@ def validate_args(args: argparse.Namespace) -> List[str]:
     if args.use_partial_charges and int(0.3 * args.hidden_dim) < 2:
         errors.append("--use_partial_charges needs hidden_dim ≥ 7 (x_other ≥ 2)")
 
+    g_shards = getattr(args, "graph_shards", 1)
+    g_shards = 1 if g_shards is None else g_shards
+    if g_shards < 1:
+        errors.append("--graph_shards must be ≥ 1")
+    elif g_shards > 1:
+        import jax
+
+        need = (args.num_devices or 1) * g_shards
+        have = len(jax.devices())
+        if need > have:
+            errors.append(
+                f"--graph_shards {g_shards} x --num_devices "
+                f"{args.num_devices or 1} needs {need} devices, "
+                f"only {have} visible"
+            )
+        if getattr(args, "true_multi_hop", False):
+            errors.append(
+                "--graph_shards is only implemented for the reference's "
+                "hop-collapse semantics (drop --true_multi_hop)"
+            )
+
     if errors:
         raise ValidationError("; ".join(errors))
     return warnings

@@ -24,6 +24,22 @@ from ..chem.featurize import compute_features
 from .batching import MolBatch, MolFeatures, bucket_size, collate
 
 
+def _binned_env_default() -> bool:
+    """Default for the binned dense layout: on for TPU backends, overridable
+    with AIMNET_BINNED=0/1 (tests and the CPU multi-chip dryrun use =1 to
+    drive the megakernel datapath through the product loaders)."""
+    import os
+
+    import jax
+
+    env = os.environ.get("AIMNET_BINNED", "").lower()
+    if env in ("1", "on", "true"):
+        return True
+    if env in ("0", "off", "false"):
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def featurize_many(
     smiles: Sequence[str],
     targets: np.ndarray,
@@ -193,7 +209,7 @@ class BatchLoader:
             # fragments are chunked there), so the molecule-size cap only
             # binds the single-device layout
             binned = (
-                jax.default_backend() == "tpu"
+                _binned_env_default()
                 and edge_shards == 1
                 and (
                     halo_shards > 1
@@ -449,35 +465,15 @@ class BatchLoader:
         """Halo-partition each data shard with shared (pinned, monotonically
         growing) per-device slot minimums so every shard in the stack — and
         across steps — has identical static shapes."""
-        from ..parallel.halo import partition_halo
+        from ..parallel.halo import partition_halo_stack
 
-        kw = dict(binned=self.binned, ab=self.bin_ab) if self.binned else {}
-        parts = []
-        for b in collated:
-            p, stats = partition_halo(
-                b, self.halo_shards, return_stats=True, **kw, **self._halo_slots
-            )
-            self._halo_slots = {
-                "edge_slots": stats.edge_slots_per_device,
-                "halo_pair_slots": stats.halo_pair_slots,
-            }
-            if self.binned:
-                self._halo_slots["bin_slots"] = stats.bin_slots
-            else:
-                self._halo_slots["atom_slots"] = stats.atom_slots_per_device
-            parts.append(p)
-        # earlier shards may predate a pin growth — re-partition to final caps
-        final = self._halo_slots
-        atoms_final = (
-            final["bin_slots"] * self.bin_ab if self.binned else final["atom_slots"]
+        parts, self._halo_slots = partition_halo_stack(
+            collated,
+            self.halo_shards,
+            binned=self.binned,
+            ab=self.bin_ab,
+            slots=self._halo_slots,
         )
-        for i, (b, p) in enumerate(zip(collated, parts)):
-            if (
-                p.atom_type.shape[-1] != atoms_final
-                or p.edge_src.shape[-1] != final["edge_slots"]
-                or p.halo_send_idx.shape[-1] != final["halo_pair_slots"]
-            ):
-                parts[i] = partition_halo(b, self.halo_shards, **kw, **final)
         return parts
 
     def _repin_fused(self, shards: List[MolBatch]) -> List[MolBatch]:

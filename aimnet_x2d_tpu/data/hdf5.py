@@ -771,6 +771,7 @@ class HDF5BatchLoader:
         bin_ab: int = 256,
         bin_mb: int = 48,
         slim_edges: "bool | None" = None,
+        halo_shards: int = 1,
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -779,18 +780,30 @@ class HDF5BatchLoader:
         self.drop_last = drop_last
         self.host_id = host_id
         self.num_hosts = num_hosts
+        # halo mode partitions each data shard over the 'graph' axis, so
+        # batches always carry a leading (stack, G, ...) layout — force at
+        # least one data shard (mirrors BatchLoader's halo gating)
+        self.halo_shards = halo_shards
+        if halo_shards > 1 and stack_devices == 0:
+            stack_devices = 1
         self.stack_devices = stack_devices
         self.block_batches = block_batches
         # Bin-packed dense layout (data/binning.py): fastest TPU path;
         # feasible iff every molecule fits one bin (known from HDF5 stats).
+        # Halo shards bin-pack per device inside partition_halo (giant
+        # fragments are chunked there), so the size cap only binds the
+        # single-device layout.
         if binned is None:
-            import jax
+            from .dataset import _binned_env_default
 
-            binned = (
-                jax.default_backend() == "tpu"
-                and (dataset.max_atoms_per_mol or 0) <= bin_ab
+            binned = _binned_env_default() and (
+                halo_shards > 1 or (dataset.max_atoms_per_mol or 0) <= bin_ab
             )
-        elif binned and (dataset.max_atoms_per_mol or 0) > bin_ab:
+        elif (
+            binned
+            and halo_shards == 1
+            and (dataset.max_atoms_per_mol or 0) > bin_ab
+        ):
             raise ValueError(
                 f"binned layout needs bin_ab >= largest molecule "
                 f"({dataset.max_atoms_per_mol} atoms > {bin_ab})"
@@ -799,19 +812,25 @@ class HDF5BatchLoader:
         self.bin_ab = bin_ab
         self.bin_mb = bin_mb
         self._bin_pins: dict = {}
+        self._halo_slots: dict = {}
         if fused_edges is None:
             import jax
 
-            fused_edges = jax.default_backend() == "tpu" and not binned
-        self.fused_edges = fused_edges and not binned
+            fused_edges = (
+                jax.default_backend() == "tpu" and not binned and halo_shards == 1
+            )
+        self.fused_edges = fused_edges and not binned and halo_shards == 1
         self._fused_pins: dict = {}
         # drop flat edge arrays from binned device batches (~40% of the
-        # per-batch transfer; bin_adj carries every edge) — auto on TPU
+        # per-batch transfer; bin_adj carries every edge) — auto on TPU.
+        # Halo shards keep them (their flat fallback path is load-bearing).
         if slim_edges is None:
             import jax
 
-            slim_edges = binned and jax.default_backend() == "tpu"
-        self.slim_edges = bool(slim_edges) and binned
+            slim_edges = (
+                binned and halo_shards == 1 and jax.default_backend() == "tpu"
+            )
+        self.slim_edges = bool(slim_edges) and binned and halo_shards == 1
         self._epoch = 0
         k = batch_size
         self.atom_slots = bucket_size(k * dataset.max_atoms_per_mol or 8)
@@ -855,7 +874,7 @@ class HDF5BatchLoader:
             tet_slots=self.tet_slots,
             pair_slots=self.pair_slots,
         )
-        if self.binned:
+        if self.binned and self.halo_shards == 1:
             from .binning import bin_pack_batch
 
             batch = bin_pack_batch(
@@ -902,6 +921,19 @@ class HDF5BatchLoader:
             shards.append(
                 self._collate([m for m, _ in part], np.array([t for _, t in part]))
             )
+        if self.halo_shards > 1:
+            # (stack, G, ...) binned-or-flat halo shards with shared slot
+            # pins across shards AND steps (one compilation)
+            from ..parallel.halo import partition_halo_stack
+
+            shards, self._halo_slots = partition_halo_stack(
+                shards,
+                self.halo_shards,
+                binned=self.binned,
+                ab=self.bin_ab,
+                slots=self._halo_slots,
+            )
+            return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *shards)
         if self.fused_edges:
             from .batching import repin_fused_shards
 
@@ -929,7 +961,9 @@ class HDF5BatchLoader:
             yield from self._iter_impl()
 
     def _iter_impl(self) -> Iterator[MolBatch]:
-        if self.binned:
+        if self.binned and self.halo_shards == 1:
+            # (halo mode bin-packs per device inside partition_halo, so it
+            # needs the flat collate layout, not the native binned builder)
             from .native_batch import load_library
 
             if load_library() is not None:

@@ -237,14 +237,16 @@ class GNN(nn.Module):
         # between them, the local per-bin aggregation hoisted to XLA so the
         # collective overlaps with it (ops/halo.py).  Pooling and the head
         # stay on the flat psum path (segment ops are layout-agnostic).
+        # Charge/stereo injections (config 3) run feature-major between the
+        # kernels: charge-eq psums per-molecule partials over the graph
+        # axis, stereo rows are device-local by the partitioner's
+        # construction (round-4, VERDICT r3 item 7).
         use_halo_stack = (
             halo
             and cfg.parity_mode
             and batch.bin_adj is not None
             and batch.halo_adj is not None
             and cfg.graph_axis is not None
-            and not cfg.use_partial_charges
-            and not cfg.use_stereochemistry
         )
         hk_mode = None
         if use_halo_stack:
@@ -474,6 +476,14 @@ class GNN(nn.Module):
                 base_seed = base_seed + jax.lax.axis_index(cfg.graph_axis)
             xT = x_other.astype(dtc).T  # (D, A_loc = nb·ab)
             for l, ws in enumerate(ws_layers):
+                if cfg.use_partial_charges:
+                    xT = self._charge_equilibration_t_seg(
+                        batch, xT, B, cfg.graph_axis
+                    )
+                if cfg.use_stereochemistry:
+                    xT = self._stereochemistry_t(
+                        batch, xT, stereo_proj, stereo_ctx
+                    )
                 # boundary rows for THIS layer's aggregation: the
                 # all_to_all and the local per-bin matmuls both depend only
                 # on the previous layer's output, so XLA's async collective
@@ -881,20 +891,69 @@ class GNN(nn.Module):
             [q_new.astype(xT.dtype), f_new.astype(xT.dtype), xT[2:]], axis=0
         )
 
+    def _charge_equilibration_t_seg(
+        self, batch: MolBatch, xT: jax.Array, B: int, graph_axis: str | None
+    ) -> jax.Array:
+        """Feature-major charge equilibration via per-molecule SEGMENT sums
+        (Q3) — the halo-shard twin of ``_charge_equilibration_t``: halo
+        shards carry no pool_mat, and split molecules need their Q_u/F_u
+        psum'd over the graph axis so they equilibrate globally
+        (reference gnn.py:622-658; per-molecule partials as in the flat
+        halo path at ``_charge_equilibration``)."""
+        q = xT[0:1, :].astype(jnp.float32)  # (1, A)
+        f = jnp.clip(xT[1:2, :].astype(jnp.float32), min=1e-6)
+        seg = jnp.where(batch.atom_mask, batch.atom_mol, B)
+        mask = batch.atom_mask[None, :]
+        Q_u = segment_sum(jnp.where(mask, q, 0.0).T, seg, B)  # (B, 1)
+        F_u = segment_sum(jnp.where(mask, f, 0.0).T, seg, B)
+        if graph_axis is not None:
+            Q_u = jax.lax.psum(Q_u, graph_axis)
+            F_u = jax.lax.psum(F_u, graph_axis)
+        F_u = jnp.clip(F_u + 1e-6, min=1e-6)
+        dQ = batch.total_charge[:, None] - Q_u
+        f_new = f * (1.0 / F_u)[batch.atom_mol].T
+        q_new = q + f_new * dQ[batch.atom_mol].T
+        return jnp.concatenate(
+            [q_new.astype(xT.dtype), f_new.astype(xT.dtype), xT[2:]], axis=0
+        )
+
     def _stereochemistry_t(
         self, batch: MolBatch, xT: jax.Array, proj_kb, ctx
     ) -> jax.Array:
         """Feature-major stereochemistry injection (Q6/Q7).  cis/trans is
-        one batched matmul against the dense signed per-bin adjacency; the
-        tetrahedral polynomial runs on the small (C, 4, D) gather (one
+        one batched matmul against the dense signed per-bin adjacency
+        (single-chip binned batches) or the transposed segment scatter
+        (halo shards, whose chunked fragments may split a pair across
+        bins — same op sequence as the row-major ``_cis_trans_features``);
+        the tetrahedral polynomial runs on the small (C, 4, D) gather (one
         (A, D)-scale transpose to return feature-major); the (3D, D)
         projection is row-sliced so no 3D-wide concat exists."""
         from ..ops.halo import binned_local_agg_t
 
         D, A = xT.shape
-        cctT = xT + binned_local_agg_t(xT, ctx["stereo_adj"], xT.dtype).astype(
-            xT.dtype
-        )
+        stereo_adj = ctx.get("stereo_adj")
+        if stereo_adj is not None:
+            cctT = xT + binned_local_agg_t(xT, stereo_adj, xT.dtype).astype(
+                xT.dtype
+            )
+        else:
+            # transposed twin of _cis_trans_features' segment path: gather
+            # source COLUMNS, scatter into destination columns (pair rows
+            # are device-local by the halo partitioner's construction)
+            cis_src = jnp.where(
+                batch.cis_mask[:, None],
+                xT[:, jnp.clip(batch.cis_pairs[:, 0], 0, A - 1)].T,
+                0.0,
+            )
+            trans_src = jnp.where(
+                batch.trans_mask[:, None],
+                xT[:, jnp.clip(batch.trans_pairs[:, 0], 0, A - 1)].T,
+                0.0,
+            )
+            contrib = segment_sum(
+                -cis_src, batch.cis_pairs[:, 1], A
+            ) + segment_sum(trans_src, batch.trans_pairs[:, 1], A)
+            cctT = xT + contrib.T.astype(xT.dtype)
 
         # tetrahedral: gather columns, run the row-major polynomial on the
         # small (C, 4, D) block, scatter, transpose the delta back

@@ -31,7 +31,7 @@ import numpy as np
 
 from ..data.batching import MolBatch, bucket_size
 
-__all__ = ["partition_halo", "HaloStats"]
+__all__ = ["partition_halo", "partition_halo_stack", "HaloStats"]
 
 
 @dataclasses.dataclass
@@ -160,8 +160,8 @@ def partition_halo(
     Bslots = batch.num_graph_slots
     atom_mask = np.asarray(batch.atom_mask)
     total_atoms = int(atom_mask.sum())
-    if total_atoms == 0:
-        raise ValueError("cannot halo-partition an empty batch")
+    # total_atoms == 0 (an empty trailing data shard in a stacked group) is
+    # legal: every device gets an all-masked shard at the pinned shapes.
     if not atom_mask[:total_atoms].all():
         raise ValueError("packed atoms must be a prefix (collate layout)")
     mol_of = np.asarray(batch.atom_mol[:total_atoms])
@@ -556,3 +556,50 @@ def _partition_halo_binned(
         )
         return stacked, stats
     return stacked
+
+
+def partition_halo_stack(
+    collated: List[MolBatch],
+    num_devices: int,
+    *,
+    binned: bool = False,
+    ab: int = 256,
+    slots: "Dict[str, int] | None" = None,
+) -> Tuple[List[MolBatch], Dict[str, int]]:
+    """Halo-partition a list of collated data-shard batches with SHARED,
+    monotonically-growing per-device slot minimums, so every shard in the
+    stack — and across steps, when the caller feeds ``slots`` back in —
+    has identical static shapes (one jit compilation).
+
+    This is the loader-side glue both ``data.dataset.BatchLoader`` and
+    ``data.hdf5.HDF5BatchLoader`` use for their ``halo_shards`` mode (the
+    CLI ``--graph_shards`` path).  Returns (parts, slots): each element of
+    ``parts`` carries a leading (G, ...) device axis; ``slots`` is the
+    updated pin dict to pass to the next call.
+    """
+    slots = dict(slots or {})
+    kw = dict(binned=True, ab=ab) if binned else {}
+    parts: List[MolBatch] = []
+    for b in collated:
+        p, stats = partition_halo(
+            b, num_devices, return_stats=True, **kw, **slots
+        )
+        slots = {
+            "edge_slots": stats.edge_slots_per_device,
+            "halo_pair_slots": stats.halo_pair_slots,
+        }
+        if binned:
+            slots["bin_slots"] = stats.bin_slots
+        else:
+            slots["atom_slots"] = stats.atom_slots_per_device
+        parts.append(p)
+    # earlier shards may predate a pin growth — re-partition to final caps
+    atoms_final = slots["bin_slots"] * ab if binned else slots["atom_slots"]
+    for i, (b, p) in enumerate(zip(collated, parts)):
+        if (
+            p.atom_type.shape[-1] != atoms_final
+            or p.edge_src.shape[-1] != slots["edge_slots"]
+            or p.halo_send_idx.shape[-1] != slots["halo_pair_slots"]
+        ):
+            parts[i] = partition_halo(b, num_devices, **kw, **slots)
+    return parts, slots

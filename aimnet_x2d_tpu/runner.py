@@ -87,6 +87,35 @@ def train_config_from_args(args: argparse.Namespace) -> TrainConfig:
     )
 
 
+def _parallel_from_args(args):
+    """(n_data, n_graph, mesh) from --num_devices / --graph_shards.
+
+    n_graph > 1 selects halo-partitioned graph parallelism (parallel/halo.py):
+    the loaders emit (n_data, n_graph, ...) shards and the train step is
+    parallel.graph_parallel.make_graph_parallel_train_step over a
+    ('data', 'graph') mesh.  Capability replaced: the reference's whole
+    distribution surface is flag-driven DDP (src/main/utils.py:24-76).
+    """
+    n_data = args.num_devices or 1
+    n_graph = getattr(args, "graph_shards", 1) or 1
+    total = n_data * n_graph
+    mesh = (
+        create_mesh(
+            num_data=n_data, num_graph=n_graph, devices=jax.devices()[:total]
+        )
+        if total > 1
+        else None
+    )
+    return n_data, n_graph, mesh
+
+
+def _make_halo_train_step(model, tc, params, mesh):
+    from .parallel.graph_parallel import make_graph_parallel_train_step
+    from .training.trainer import make_optimizer
+
+    return make_graph_parallel_train_step(model, tc, make_optimizer(tc, params), mesh)
+
+
 def _load_splits(args) -> Tuple[Tuple, Tuple, Tuple, int]:
     kwargs = dict(
         smiles_column=args.smiles_column,
@@ -168,11 +197,12 @@ def _run_training_streaming(args: argparse.Namespace) -> Dict[str, Any]:
     pipe = PreprocessingPipeline.from_state_dict(train_h5.preprocessing_state)
     num_tasks = train_h5.num_tasks
 
-    n_dev = args.num_devices or 1
-    mesh = create_mesh(num_data=n_dev, num_graph=1) if n_dev > 1 else None
+    n_dev, n_graph, mesh = _parallel_from_args(args)
     stack = n_dev if mesh is not None else 0
     train_loader = HDF5BatchLoader(
-        train_h5, args.batch_size, shuffle=True, seed=args.seed, stack_devices=stack
+        train_h5, args.batch_size, shuffle=True, seed=args.seed,
+        stack_devices=(max(stack, 1) if n_graph > 1 else stack),
+        halo_shards=n_graph,
     )
     val_loader = HDF5BatchLoader(val_h5, args.batch_size * max(1, n_dev))
     test_loader = HDF5BatchLoader(test_h5, args.batch_size * max(1, n_dev))
@@ -180,18 +210,24 @@ def _run_training_streaming(args: argparse.Namespace) -> Dict[str, Any]:
     cfg = gnn_config_from_args(args, num_tasks)
     model = GNN(cfg)
     rng = set_seed(args.seed)
-    init_batch = next(iter(train_loader))
-    if stack:
-        init_batch = jax.tree_util.tree_map(lambda x: x[0], init_batch)
+    if n_graph > 1:
+        init_batch = next(iter(val_loader))
+    else:
+        init_batch = next(iter(train_loader))
+        if stack:
+            init_batch = jax.tree_util.tree_map(lambda x: x[0], init_batch)
     params = model.init(rng, init_batch)
     if args.transfer_learning:
         art = load_artifact(args.transfer_learning)
         params, _, _ = transfer_params(art.params, params)
 
     tc = train_config_from_args(args)
+    train_step = (
+        _make_halo_train_step(model, tc, params, mesh) if n_graph > 1 else None
+    )
     result = train(
         model, params, train_loader, val_loader, tc, mesh=mesh, pipeline=pipe,
-        rng=jax.random.PRNGKey(args.seed),
+        rng=jax.random.PRNGKey(args.seed), train_step=train_step,
     )
     test_metrics = evaluate(
         model, result.params, test_loader, config=tc, pipeline=pipe, mesh=mesh
@@ -254,11 +290,12 @@ def _run_training(args: argparse.Namespace) -> Dict[str, Any]:
     val_ds = val_ds.with_targets(pipe.transform(val_ds.atomic_numbers(), val_ds.targets))
     test_ds = test_ds.with_targets(pipe.transform(test_ds.atomic_numbers(), test_ds.targets))
 
-    n_dev = args.num_devices or 1
-    mesh = create_mesh(num_data=n_dev, num_graph=1) if n_dev > 1 else None
+    n_dev, n_graph, mesh = _parallel_from_args(args)
     stack = n_dev if mesh is not None else 0
     train_loader = BatchLoader(
-        train_ds, args.batch_size, shuffle=True, seed=args.seed, stack_devices=stack
+        train_ds, args.batch_size, shuffle=True, seed=args.seed,
+        stack_devices=(max(stack, 1) if n_graph > 1 else stack),
+        halo_shards=n_graph,
     )
     val_loader = BatchLoader(val_ds, args.batch_size * max(1, n_dev))
     test_loader = BatchLoader(test_ds, args.batch_size * max(1, n_dev))
@@ -266,9 +303,14 @@ def _run_training(args: argparse.Namespace) -> Dict[str, Any]:
     cfg = gnn_config_from_args(args, num_tasks)
     model = GNN(cfg)
     rng = set_seed(args.seed)
-    init_batch = next(iter(train_loader))
-    if stack:
-        init_batch = jax.tree_util.tree_map(lambda x: x[0], init_batch)
+    if n_graph > 1:
+        # params are layout-independent; init from a plain (unpartitioned)
+        # batch — a halo shard needs the mesh context the init lacks
+        init_batch = next(iter(val_loader))
+    else:
+        init_batch = next(iter(train_loader))
+        if stack:
+            init_batch = jax.tree_util.tree_map(lambda x: x[0], init_batch)
     params = model.init(rng, init_batch)
 
     if args.transfer_learning:
@@ -276,6 +318,9 @@ def _run_training(args: argparse.Namespace) -> Dict[str, Any]:
         params, _, _ = transfer_params(art.params, params)
 
     tc = train_config_from_args(args)
+    train_step = (
+        _make_halo_train_step(model, tc, params, mesh) if n_graph > 1 else None
+    )
     from .utils.tracking import create_tracker
 
     tracker = create_tracker(args)
@@ -288,6 +333,7 @@ def _run_training(args: argparse.Namespace) -> Dict[str, Any]:
         model, params, train_loader, val_loader, tc, mesh=mesh, pipeline=pipe,
         rng=jax.random.PRNGKey(args.seed), tracker=tracker,
         checkpointer=checkpointer, checkpoint_every=args.checkpoint_every,
+        train_step=train_step,
     )
 
     test_metrics = evaluate(

