@@ -91,13 +91,15 @@ def multi_hop_edges(adj: List[List[int]], max_hops: int) -> List[np.ndarray]:
 def _find_chiral_centers(mol: sm.Molecule) -> List[int]:
     """Assigned (@/@@) plus potential tetrahedral stereocenters.
 
-    Potential centers approximate RDKit's FindMolChiralCenters(
-    includeUnassigned=True): an atom with 4 neighbors whose symmetry ranks
-    (Morgan refinement) are pairwise distinct.  Documented deviation: full
-    CIP rules are not applied, so ranking ties in symmetric-but-CIP-distinct
-    environments may differ from RDKit.
+    Potential centers follow RDKit's FindMolChiralCenters(
+    includeUnassigned=True) semantics: an atom with 4 substituent branches
+    that are pairwise constitutionally distinct under the CIP hierarchical
+    digraph (phantom duplicates for multiple bonds, duplicate leaves at
+    ring closures — ``sm.cip_neighbors_distinct``).  On digraph-budget
+    overflow (pathological fused polycycles) falls back to the global
+    symmetry-rank approximation (round-1..3 behavior, PARITY.md).
     """
-    ranks = sm.symmetry_ranks(mol)
+    ranks = None
     centers = []
     for idx, atom in enumerate(mol.atoms):
         if atom.is_h:
@@ -108,8 +110,12 @@ def _find_chiral_centers(mol: sm.Molecule) -> List[int]:
             continue
         if len(nbrs) != 4:
             continue
-        nbr_ranks = [ranks[j] for j in nbrs]
-        if len(set(nbr_ranks)) == 4:
+        distinct = sm.cip_neighbors_distinct(mol, idx)
+        if distinct is None:  # budget overflow → symmetry-rank fallback
+            if ranks is None:
+                ranks = sm.symmetry_ranks(mol)
+            distinct = len({ranks[j] for j in nbrs}) == 4
+        if distinct:
             centers.append(idx)
     return centers
 
@@ -236,5 +242,9 @@ def compute_features(smiles_str: str, max_hops: int) -> Optional[MolFeatures]:
         trans_pairs=trans,
         total_charge=float(sm.total_formal_charge(mol)),
         atomic_numbers=atomic_numbers,
-        smiles=smiles_str,
+        # processed canonical SMILES (explicit-H, isomeric) — reference
+        # stores MolToSmiles(AddHs(mol), isomericSmiles=True,
+        # allHsExplicit=True) as the molecule's output string
+        # (src/datasets/features.py:173,333; molecular.py:68)
+        smiles=sm.write_canonical_smiles(mol),
     )

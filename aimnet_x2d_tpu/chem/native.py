@@ -74,6 +74,10 @@ def load_library():
     lib.aimnet_num_edges.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.aimnet_edges.restype = i32p
     lib.aimnet_edges.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.aimnet_smiles.restype = ctypes.c_char_p
+    lib.aimnet_smiles.argtypes = [ctypes.c_void_p]
+    lib.aimnet_batch_smiles.restype = ctypes.c_char_p
+    lib.aimnet_batch_smiles.argtypes = [ctypes.c_void_p, ctypes.c_int]
 
     # batch API
     i64p = ctypes.POINTER(ctypes.c_int64)
@@ -141,6 +145,7 @@ def compute_features_native(smiles: str, max_hops: int) -> Optional[MolFeatures]
         n_trans = lib.aimnet_num_trans(h)
         trans = _as_array(lib.aimnet_trans(h), n_trans * 2).reshape(n_trans, 2)
         charge = float(lib.aimnet_total_charge(h))
+        processed = lib.aimnet_smiles(h).decode("utf-8")
     finally:
         lib.aimnet_free(h)
 
@@ -155,7 +160,7 @@ def compute_features_native(smiles: str, max_hops: int) -> Optional[MolFeatures]
         trans_pairs=trans,
         total_charge=charge,
         atomic_numbers=atomic,
-        smiles=smiles,
+        smiles=processed,  # canonical explicit-H output (C++ writer)
     )
 
 
@@ -200,6 +205,9 @@ def compute_features_batch(
         tr_off = _np(lib.aimnet_batch_trans_offsets, n + 1, np.int64)
         trans = _np(lib.aimnet_batch_trans, int(tr_off[-1]) * 2, np.int32).reshape(-1, 2)
         charge = _np(lib.aimnet_batch_total_charge, n, np.int32)
+        processed = [
+            lib.aimnet_batch_smiles(h, i).decode("utf-8") for i in range(n)
+        ]
     finally:
         lib.aimnet_batch_free(h)
 
@@ -227,7 +235,7 @@ def compute_features_batch(
                 trans_pairs=trans[tr_off[i] : tr_off[i + 1]],
                 total_charge=float(charge[i]),
                 atomic_numbers=anum[a0:a1],
-                smiles=smiles_list[i],
+                smiles=processed[i],  # canonical explicit-H output
             )
         )
     return out

@@ -79,9 +79,17 @@ class Molecule:
         self.atoms: List[Atom] = []
         self.bonds: List[Bond] = []
         self._adj: Optional[List[List[int]]] = None  # atom -> bond indices
+        # Per-atom neighbor order in SMILES convention (OpenSMILES §3.9.2):
+        # preceding atom, then the bracket implicit-H slot (sentinel -1,
+        # patched to the real H index by add_hydrogens), then ring-closure
+        # partners at their DIGIT positions, then branch/chain neighbors as
+        # written.  Consumed by the tetrahedral-stereo re-emission in
+        # write_canonical_smiles.
+        self.sorder: List[List[int]] = []
 
     def add_atom(self, atom: Atom) -> int:
         self.atoms.append(atom)
+        self.sorder.append([])
         self._adj = None
         return len(self.atoms) - 1
 
@@ -226,8 +234,8 @@ def _parse_smiles(smiles: str) -> Molecule:
     mol = Molecule()
     prev: Optional[int] = None
     stack: List[Optional[int]] = []
-    # ring number -> (atom_idx, bond_char or None, direction)
-    rings: Dict[int, Tuple[int, Optional[str], int]] = {}
+    # ring number -> (atom_idx, bond_char or None, direction, sorder pos)
+    rings: Dict[int, Tuple[int, Optional[str], int, int]] = {}
     pending_bond: Optional[str] = None  # one of -=#$:/\
     i, n = 0, len(smiles)
 
@@ -243,6 +251,10 @@ def _parse_smiles(smiles: str) -> Molecule:
                 both_arom = mol.atoms[a1].aromatic and mol.atoms[a2].aromatic
                 order, arom, direction = 1, both_arom, 0
             mol.add_bond(a1, a2, order, arom, direction)
+            mol.sorder[a1].append(a2)
+            mol.sorder[a2].append(a1)
+        if mol.atoms[new_idx].bracket and mol.atoms[new_idx].explicit_h > 0:
+            mol.sorder[new_idx].append(-1)  # implicit-H slot (OpenSMILES)
         prev = new_idx
         pending_bond = None
 
@@ -301,7 +313,7 @@ def _parse_smiles(smiles: str) -> Molecule:
             )
             bond_char = pending_bond if pending_bond not in ("/", "\\") else None
             if num in rings:
-                open_atom, open_char, open_dir = rings.pop(num)
+                open_atom, open_char, open_dir, open_pos = rings.pop(num)
                 char = bond_char or open_char
                 if bond_char and open_char and bond_char != open_char:
                     raise SmilesError("Conflicting ring-closure bond orders")
@@ -313,8 +325,11 @@ def _parse_smiles(smiles: str) -> Molecule:
                 # direction as written from the opening atom
                 d = open_dir if open_dir else (-direction if direction else 0)
                 mol.add_bond(open_atom, prev, order, arom, d)
+                mol.sorder[open_atom][open_pos] = prev
+                mol.sorder[prev].append(open_atom)
             else:
-                rings[num] = (prev, bond_char, direction)
+                rings[num] = (prev, bond_char, direction, len(mol.sorder[prev]))
+                mol.sorder[prev].append(-2)  # patched at ring closure
             pending_bond = None
         elif c in " \t":
             break  # SMILES may be followed by a title
@@ -436,8 +451,9 @@ def add_hydrogens(mol: Molecule) -> Molecule:
     heavy-atom order (RDKit AddHs layout, so downstream index-based features
     are comparable)."""
     out = Molecule()
-    for atom in mol.atoms:
+    for i, atom in enumerate(mol.atoms):
         out.add_atom(dataclasses.replace(atom))
+        out.sorder[i] = list(mol.sorder[i])
     for b in mol.bonds:
         out.add_bond(b.a1, b.a2, b.order, b.aromatic, b.direction)
     for idx in range(len(mol.atoms)):
@@ -445,6 +461,12 @@ def add_hydrogens(mol: Molecule) -> Molecule:
         for _ in range(atom.total_h):
             h = out.add_atom(Atom(atomic_num=1, is_h=True))
             out.add_bond(idx, h, 1)
+            so = out.sorder[idx]
+            if -1 in so:  # the bracket implicit-H slot (stereo convention)
+                so[so.index(-1)] = h
+            else:
+                so.append(h)
+            out.sorder[h] = [idx]
         atom.explicit_h = 0
         atom.implicit_h = 0
     return out
@@ -474,6 +496,361 @@ def hybridization(mol: Molecule, idx: int) -> str:
 
 def total_formal_charge(mol: Molecule) -> int:
     return sum(a.charge for a in mol.atoms)
+
+
+_CIP_NODE_BUDGET = 65536
+
+
+class _CipBudget(Exception):
+    pass
+
+
+def _cip_key(mol: Molecule, prev: int, cur: int, mask: List[bool], counter):
+    """Canonical key of one branch of the CIP hierarchical digraph.
+
+    The digraph follows CIP constitutional rules (rule 1a atomic number +
+    rule 2 isotope): multiple bonds contribute phantom duplicate leaves at
+    BOTH ends, ring closures terminate in a duplicate leaf of the revisited
+    atom, and sibling subtrees are order-canonicalized by sorting — so two
+    branches compare equal iff their hierarchical digraphs are isomorphic
+    (reference behavior: RDKit FindMolChiralCenters(includeUnassigned=True)
+    via AssignStereochemistry; src/datasets/features.py:211-218).
+
+    Keys are nested tuples ``(Z, isotope, (children…))``; duplicates are
+    ``(Z, 0, ())``.  Raises ``_CipBudget`` past ``_CIP_NODE_BUDGET`` nodes
+    (pathological fused polycycles) — callers fall back to symmetry ranks.
+    """
+    counter[0] += 1
+    if counter[0] > _CIP_NODE_BUDGET:
+        raise _CipBudget()
+    a = mol.atoms[cur]
+    children = []
+    for bi in mol.adjacency[cur]:
+        b = mol.bonds[bi]
+        other = b.other(cur)
+        dup = (mol.atoms[other].atomic_num, 0, ())
+        for _ in range(b.order - 1):  # phantom atoms for multiple bonds
+            children.append(dup)
+        if other == prev:
+            continue
+        if mask[other]:  # ring closure → duplicate leaf
+            children.append(dup)
+        else:
+            mask[cur] = True
+            children.append(_cip_key(mol, cur, other, mask, counter))
+            mask[cur] = False
+    children.sort(reverse=True)
+    return (a.atomic_num, a.isotope, tuple(children))
+
+
+def cip_neighbors_distinct(mol: Molecule, idx: int) -> Optional[bool]:
+    """True iff the four substituent branches at ``idx`` are pairwise
+    constitutionally distinct under the CIP hierarchical digraph; None if
+    the digraph exceeds the node budget (caller falls back to the
+    symmetry-rank approximation)."""
+    mask = [False] * len(mol.atoms)
+    mask[idx] = True
+    counter = [0]
+    try:
+        keys = [
+            _cip_key(mol, idx, j, mask, counter) for j in mol.neighbors(idx)
+        ]
+    except _CipBudget:
+        return None
+    return len(set(keys)) == len(keys)
+
+
+def canonical_ranks(mol: Molecule) -> List[int]:
+    """Distinct per-atom canonical ranks for the SMILES writer.
+
+    Hash-free Morgan/WL refinement over explicit invariant tuples
+    (language-portable: native/featurizer.cpp mirrors it exactly), then
+    deterministic tie-breaking: repeatedly single out one member of the
+    lowest tied class and re-refine.  Within an automorphism orbit the
+    choice cannot affect the emitted string; for WL-indistinguishable yet
+    non-automorphic atoms (chemically exotic regular graphs) the output
+    may depend on input order — documented in PARITY.md.
+    """
+    n = len(mol.atoms)
+
+    def compress(keys):
+        uniq = {k: r for r, k in enumerate(sorted(set(keys)))}
+        return [uniq[k] for k in keys]
+
+    def refine(ranks):
+        while True:
+            keys = [
+                (
+                    ranks[i],
+                    tuple(
+                        sorted(
+                            (ranks[mol.bonds[bi].other(i)], mol.bonds[bi].order)
+                            for bi in mol.adjacency[i]
+                        )
+                    ),
+                )
+                for i in range(n)
+            ]
+            new = compress(keys)
+            if new == ranks:
+                return ranks
+            ranks = new
+
+    ranks = refine(
+        compress(
+            [
+                (
+                    a.is_h,
+                    a.atomic_num,
+                    a.charge,
+                    a.total_h,
+                    len(mol.adjacency[i]),
+                    a.aromatic,
+                    a.isotope,
+                )
+                for i, a in enumerate(mol.atoms)
+            ]
+        )
+    )
+    while len(set(ranks)) < n:
+        counts: Dict[int, int] = {}
+        for r in ranks:
+            counts[r] = counts.get(r, 0) + 1
+        r0 = min(r for r, c in counts.items() if c > 1)
+        chosen = min(i for i in range(n) if ranks[i] == r0)
+        ranks = refine(
+            compress([(ranks[i], 0 if i == chosen else 1) for i in range(n)])
+        )
+    return ranks
+
+
+_BOND_CHAR = {1: "", 2: "=", 3: "#", 4: "$"}
+
+
+def _bond_char_out(mol: Molecule, bi: int, u: int) -> str:
+    """Bond symbol when the bond is written starting from atom ``u``."""
+    b = mol.bonds[bi]
+    if b.direction:
+        d = b.direction if b.a1 == u else -b.direction
+        return "/" if d > 0 else "\\"
+    if b.aromatic:
+        return ""
+    if (
+        b.order == 1
+        and mol.atoms[b.a1].aromatic
+        and mol.atoms[b.a2].aromatic
+    ):
+        return "-"  # single (non-aromatic) bond between aromatic atoms
+    return _BOND_CHAR[b.order]
+
+
+def _perm_parity_even(src: List[int], dst: List[int]) -> bool:
+    perm = [src.index(x) for x in dst]
+    inv = sum(
+        1
+        for i in range(len(perm))
+        for j in range(i + 1, len(perm))
+        if perm[i] > perm[j]
+    )
+    return inv % 2 == 0
+
+
+def _atom_str(mol: Molecule, u: int, out_order: List[int]) -> str:
+    """Bracket-atom text (allHsExplicit semantics: every atom bracketed,
+    like the reference's ``MolToSmiles(..., allHsExplicit=True)``)."""
+    a = mol.atoms[u]
+    sym = a.symbol.lower() if a.aromatic else a.symbol
+    s = "["
+    if a.isotope:
+        s += str(a.isotope)
+    s += sym
+    if a.chiral:
+        ref = mol.sorder[u]
+        if len(ref) == 4 and len(out_order) == 4 and set(ref) == set(out_order):
+            tag = a.chiral if _perm_parity_even(ref, out_order) else 3 - a.chiral
+            s += "@" if tag == 1 else "@@"
+    if a.total_h:
+        s += "H" + ("" if a.total_h == 1 else str(a.total_h))
+    if a.charge:
+        s += ("+" if a.charge > 0 else "-") + (
+            str(abs(a.charge)) if abs(a.charge) > 1 else ""
+        )
+    return s + "]"
+
+
+def _directional_systems(mol: Molecule):
+    """Directional-bond canonicalization support.
+
+    Returns (active, find): ``active`` is the set of single-bond indices
+    whose direction marks are meaningful (incident to a double bond whose
+    BOTH ends carry directional bonds — the reference's stereo-bond
+    condition, src/datasets/features.py:220-236); ``find`` maps an active
+    bond to its system representative.  Flipping every mark inside one
+    system preserves the encoded stereochemistry, so the writer flips each
+    system to start with '/' — making e.g. F/C=C/F and F\\C=C\\F emit the
+    same canonical string.  Marks not in ``active`` are dropped.
+    """
+    dir_at: Dict[int, List[int]] = {}
+    for bi, b in enumerate(mol.bonds):
+        if b.order == 1 and b.direction:
+            dir_at.setdefault(b.a1, []).append(bi)
+            dir_at.setdefault(b.a2, []).append(bi)
+    parent: Dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    active: set = set()
+    for b in mol.bonds:
+        if b.order != 2 or b.aromatic:
+            continue
+        d1 = dir_at.get(b.a1, [])
+        d2 = dir_at.get(b.a2, [])
+        if not d1 or not d2:
+            continue
+        grp = d1 + d2
+        for bi in grp:
+            active.add(bi)
+            parent.setdefault(bi, bi)
+        for bi in grp[1:]:
+            union(grp[0], bi)
+    return active, find
+
+
+def write_canonical_smiles(mol: Molecule) -> str:
+    """Deterministic canonical SMILES of a parsed Molecule.
+
+    Analog of the reference's processed-SMILES output
+    ``Chem.MolToSmiles(mol, isomericSmiles=True, allHsExplicit=True)``
+    after AddHs (reference: src/datasets/features.py:173): every atom is
+    bracketed, tetrahedral tags are re-oriented to the emission order via
+    the recorded OpenSMILES neighbor order, and double-bond stereo is
+    preserved by re-emitting the input's directional marks in the output
+    orientation.  The canonicalization algorithm is our own
+    (:func:`canonical_ranks`), so strings differ from RDKit's canonical
+    form byte-wise while carrying the same information (PARITY.md).
+    """
+    n = mol.num_atoms()
+    ranks = canonical_ranks(mol)
+    dir_sys = _directional_systems(mol)
+    seen = [False] * n
+    roots = []
+    for start in sorted(range(n), key=lambda i: ranks[i]):
+        if seen[start]:
+            continue
+        roots.append(start)
+        stack = [start]
+        seen[start] = True
+        while stack:
+            u = stack.pop()
+            for v in mol.neighbors(u):
+                if not seen[v]:
+                    seen[v] = True
+                    stack.append(v)
+    return ".".join(_write_fragment(mol, ranks, root, dir_sys) for root in roots)
+
+
+def _write_fragment(mol: Molecule, ranks: List[int], root: int, dir_sys) -> str:
+    # Pass 1: DFS discovery — children in canonical-rank order; edges to
+    # already-visited atoms become ring closures (digit printed at BOTH
+    # endpoints; bond char at the closing side).
+    children: Dict[int, List[Tuple[int, int]]] = {}
+    ring_open: Dict[int, List[int]] = {}  # atom -> bonds whose digit opens here
+    ring_close: Dict[int, List[int]] = {}  # atom -> bonds whose digit closes here
+    visited = set()
+    done_bonds = set()
+
+    def discover(u: int) -> None:
+        visited.add(u)
+        children[u] = []
+        nbrs = sorted(
+            ((bi, mol.bonds[bi].other(u)) for bi in mol.adjacency[u]),
+            key=lambda t: (ranks[t[1]], t[0]),
+        )
+        for bi, v in nbrs:
+            if bi in done_bonds:
+                continue
+            done_bonds.add(bi)
+            if v in visited:
+                ring_close.setdefault(u, []).append(bi)
+                ring_open.setdefault(v, []).append(bi)
+            else:
+                children[u].append((v, bi))
+                discover(v)
+
+    discover(root)
+
+    # Pass 2: emission with digit allocation/reuse.  Directional marks are
+    # emitted as ("D", system, char) placeholders so each directional
+    # system can be canonically flipped to start with '/' afterwards.
+    active, find = dir_sys
+    out: List[object] = []
+    digit_of: Dict[int, int] = {}
+    in_use: set = set()
+
+    def take_digit() -> int:
+        d = 1
+        while d in in_use:
+            d += 1
+        in_use.add(d)
+        return d
+
+    def digit_str(d: int) -> str:
+        return str(d) if d < 10 else f"%{d:02d}"
+
+    def bond_str(bi: int, u: int) -> None:
+        b = mol.bonds[bi]
+        if b.direction:
+            if bi in active:
+                d = b.direction if b.a1 == u else -b.direction
+                out.append(("D", find(bi), "/" if d > 0 else "\\"))
+            # inactive marks (no stereo double bond attached) are dropped
+            return
+        out.append(_bond_char_out(mol, bi, u))
+
+    def emit(u: int, parent: Optional[int]) -> None:
+        order = [parent] if parent is not None else []
+        order += [mol.bonds[bi].other(u) for bi in ring_open.get(u, [])]
+        order += [mol.bonds[bi].other(u) for bi in ring_close.get(u, [])]
+        order += [v for v, _ in children[u]]
+        out.append(_atom_str(mol, u, order))
+        for bi in ring_open.get(u, []):
+            digit_of[bi] = take_digit()
+            out.append(digit_str(digit_of[bi]))
+        for bi in ring_close.get(u, []):
+            d = digit_of.pop(bi)
+            in_use.discard(d)
+            bond_str(bi, u)
+            out.append(digit_str(d))
+        ch = children[u]
+        for k, (v, bi) in enumerate(ch):
+            last = k == len(ch) - 1
+            if not last:
+                out.append("(")
+            bond_str(bi, u)
+            emit(v, u)
+            if not last:
+                out.append(")")
+
+    emit(root, None)
+    # canonical flip: each directional system starts with '/'
+    flip: Dict[int, bool] = {}
+    for tok in out:
+        if isinstance(tok, tuple) and tok[1] not in flip:
+            flip[tok[1]] = tok[2] == "\\"
+    return "".join(
+        (("\\" if (tok[2] == "/") == flip[tok[1]] else "/")
+         if isinstance(tok, tuple) else tok)
+        for tok in out
+    )
 
 
 def symmetry_ranks(mol: Molecule) -> List[int]:

@@ -79,7 +79,9 @@ def featurize_many(
     keep_smiles, keep_targets, feats = [], [], []
     for s, t, r in zip(smiles, targets, results):
         if r is not None:
-            keep_smiles.append(s)
+            # processed canonical SMILES, not the raw input (reference:
+            # molecular.py:68 stores compute_all's processed_smiles)
+            keep_smiles.append(r.smiles)
             keep_targets.append(t)
             feats.append(r)
     return keep_smiles, np.asarray(keep_targets, np.float32), feats
@@ -128,7 +130,9 @@ class MoleculeDataset:
             cache, keep = ColumnarCache.from_smiles(
                 list(smiles), max_hops, num_threads=max(num_workers, 1)
             )
-            kept = [s for s, v in zip(smiles, keep) if v]
+            kept = cache.processed_smiles or [
+                s for s, v in zip(smiles, keep) if v
+            ]
             return cls(
                 smiles=kept,
                 targets=targets[keep],

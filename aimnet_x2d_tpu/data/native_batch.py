@@ -94,6 +94,9 @@ class ColumnarCache:
     total_charge: np.ndarray  # (B,) float32
     # (ΣN,) int32 — optional (SAE preprocessing reads per-molecule slices)
     atomic_numbers: Optional[np.ndarray] = None
+    # (B,) processed canonical SMILES from the native writer — optional
+    # (reference output parity: features.py:173,333; molecular.py:68)
+    processed_smiles: Optional[list] = None
 
     @staticmethod
     def from_smiles(
@@ -145,6 +148,9 @@ class ColumnarCache:
             r_off = _np(lib.aimnet_batch_trans_offsets, n + 1, np.int64)
             trans = _np(lib.aimnet_batch_trans, int(r_off[-1]) * 2, np.int32).reshape(-1, 2)
             charge = _np(lib.aimnet_batch_total_charge, n, np.int32)
+            processed = [
+                lib.aimnet_batch_smiles(h, i).decode("utf-8") for i in range(n)
+            ]
         finally:
             lib.aimnet_batch_free(h)
 
@@ -170,6 +176,7 @@ class ColumnarCache:
             mol_trans_off=_compact(r_off),
             total_charge=charge[valid].astype(np.float32),
             atomic_numbers=anum,
+            processed_smiles=[s for s, v in zip(processed, valid) if v],
         )
         return cache, valid
 
@@ -239,6 +246,7 @@ class ColumnarCache:
                 if feats
                 else np.zeros(0, np.int32)
             ),
+            processed_smiles=[m.smiles for m in feats],
         )
 
 

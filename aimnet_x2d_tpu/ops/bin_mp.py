@@ -279,7 +279,8 @@ def _agg_bwd(vT32, adjg, dt):
     return parts[0] if G == 1 else jnp.concatenate(parts, axis=1)
 
 
-def _fwd_math(xT, adjg, ws, act, n_blocks, dt, keep=False, drop=None):
+def _fwd_math(xT, adjg, ws, act, n_blocks, dt, keep=False, drop=None,
+              grad_only=False):
     """One shell-conv layer for G lane-packed bins, feature-major.
 
     xT: (D, G·ab); adjg: (G, ab, ab) neighbor multiplicities (agg = adj @ x
@@ -294,19 +295,28 @@ def _fwd_math(xT, adjg, ws, act, n_blocks, dt, keep=False, drop=None):
     (+ intermediates when ``keep`` for the backward recompute)."""
     aggT32 = _agg_fwd(xT, adjg, dt)
     xaT = jnp.concatenate([xT, aggT32.astype(dt)], axis=0)  # (2D, G·ab)
-    return _fwd_math_xa(xaT, ws, act, n_blocks, dt, keep=keep, drop=drop)
+    return _fwd_math_xa(
+        xaT, ws, act, n_blocks, dt, keep=keep, drop=drop, grad_only=grad_only
+    )
 
 
-def _fwd_math_xa(xaT, ws, act, n_blocks, dt, keep=False, drop=None):
+def _fwd_math_xa(xaT, ws, act, n_blocks, dt, keep=False, drop=None,
+                 grad_only=False):
     """Post-aggregation layer math on a precomputed xaT = [xT ‖ aggT]
     (2D, W).  Split out of :func:`_fwd_math` so the halo-partitioned mode
     (ops/halo.py) can compute the aggregation OUTSIDE the kernel — local
     per-bin matmuls overlapped with the boundary all_to_all — and feed the
-    combined result in."""
+    combined result in.
+
+    ``grad_only`` (implies ``keep``): the caller only needs the saved
+    intermediates for a backward walk, not the layer output — skip the
+    skip-projection matmul and the final block's output matmul, neither of
+    which the gradient walk consumes (round-4 recompute diet: ~31% of the
+    recompute matmul FLOPs)."""
     w_inT, b_inT, w_sT, b_sT = ws[:4]
     tT = _dot(w_inT, xaT, dt) + b_inT
     h, t_aux = _act_value_aux(act, tT)
-    sT = _dot(w_sT, xaT, dt) + b_sT
+    sT = None if grad_only else _dot(w_sT, xaT, dt) + b_sT
     hs, us, vs, masks, auxs = [], [], [], [], []
     for i in range(n_blocks):
         w1T, b1T, w2T, b2T = ws[4 + 4 * i : 8 + 4 * i]
@@ -326,7 +336,12 @@ def _fwd_math_xa(xaT, ws, act, n_blocks, dt, keep=False, drop=None):
             us.append(u)
             vs.append(v)  # post-dropout: d_w2 contracts against this
             auxs.append(u_aux)  # transcendental part (no exp in bwd)
-        h = _dot(w2T, v, dt) + b2T + h
+        if grad_only and i == n_blocks - 1:
+            h = None  # the walk never reads the layer output
+        else:
+            h = _dot(w2T, v, dt) + b2T + h
+    if grad_only:
+        return None, (xaT, tT, hs, us, vs, masks, t_aux, auxs)
     out = h + sT
     if keep:
         return out, (xaT, tT, hs, us, vs, masks, t_aux, auxs)
@@ -455,6 +470,16 @@ def _unprep_layer_grads(lw, lg):
     return out
 
 
+def save_xs_enabled() -> bool:
+    """Stack backward strategy (round 4): stream per-layer inputs to HBM
+    in the forward so the backward runs a per-layer grad_only recompute —
+    fewer matmuls, smaller VMEM footprint, larger bin groups.  Default ON;
+    ``AIMNET_MP_SAVE_XS=0`` restores the round-3 full-chain recompute."""
+    return os.environ.get("AIMNET_MP_SAVE_XS", "").lower() not in (
+        "0", "off", "false"
+    )
+
+
 def stack_proj_enabled(train_mode: bool = True) -> bool:
     """Fold the x_other embedding-projection into the MP stack kernel
     (models/gnn.py feature-major path): default ON wherever the megakernel
@@ -472,7 +497,7 @@ def stack_proj_enabled(train_mode: bool = True) -> bool:
 
 
 def _pick_group(nb, ab, D, n_layers, n_blocks, itemsize, bwd, dropout,
-                extra_rows=0, wide=False):
+                extra_rows=0, wide=False, save_xs=False):
     """Bins per grid step.  Packing G bins along the lane axis turns the
     per-bin weight matmuls (n = ab lanes) into (n = G·ab) ones — per-issue
     MXU overhead dominates at n = 256, and grouping amortizes it — while
@@ -487,8 +512,14 @@ def _pick_group(nb, ab, D, n_layers, n_blocks, itemsize, bwd, dropout,
         rows = 8 * D + extra_rows  # x, xa (2D), t/h/u/v/s working set
         if bwd:
             # saved intermediates incl. the act-aux arrays (sigmoid kept
-            # from the recompute so the backward re-evaluates no exp)
-            rows += n_layers * (4 + 4 * n_blocks) * D
+            # from the recompute so the backward re-evaluates no exp).
+            # save_xs: layer inputs come from HBM and the recompute runs
+            # per layer inside the walk, so only ONE layer's saveds are
+            # live at a time (plus the n_layers input windows).
+            live_layers = 1 if save_xs else n_layers
+            rows += live_layers * (4 + 4 * n_blocks) * D
+            if save_xs:
+                rows += n_layers * D  # streamed-in layer-input windows
             rows += 4 * D  # fp32 cotangent accumulators
         per_lane = rows * itemsize + ab  # + int8 adjacency column
         if dropout:
@@ -523,7 +554,8 @@ def _pick_group(nb, ab, D, n_layers, n_blocks, itemsize, bwd, dropout,
 
 @functools.lru_cache(maxsize=32)
 def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
-                   dropout=0.0, proj=False, vocab_sizes=None, wide=False):
+                   dropout=0.0, proj=False, vocab_sizes=None, wide=False,
+                   save_xs=False):
     """Build the custom-VJP fused op for ``n_layers`` stacked shell-conv
     layers (static configuration).
 
@@ -534,6 +566,15 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
     ``x ← f(x) + x`` in-kernel (reference gnn.py:302-306) so inter-layer
     activations never touch HBM; without it (single-layer mode) the caller
     adds the residual.
+
+    ``save_xs`` (round 4): the forward additionally streams each layer's
+    INPUT activation to HBM (cheap: output DMAs pipeline under the
+    MXU-bound grid) so the backward recomputes per layer in grad_only
+    mode instead of re-running the whole chain — skipping every layer's
+    skip-projection and final-block matmul (~31% of the recompute) and
+    holding only ONE layer's intermediates in VMEM, which roughly doubles
+    the legal bin group.  Numerics are bit-identical: the saved bf16
+    values are exactly what the in-VMEM chain recompute produced.
     """
     dt = jnp.dtype(dtype_name)
     n_w = 4 + 4 * n_blocks  # PREPPED weights per layer (in/skip kernels fused)
@@ -542,19 +583,23 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
     # in-kernel x_other projection (kb, bb), optionally preceded by the
     # block-diag embedding table bd when the one-hot fold is on
     n_extra = (3 if vocab_sizes else 2) if proj else 0
+    # save_xs HBM outputs: inputs to layers 1..L-1, plus layer 0's input
+    # when it is produced in-kernel (proj mode) rather than passed in
+    n_saved = ((n_layers - 1) + (1 if proj else 0)) if save_xs else 0
 
     def _layer_ws(rest, l):
         return tuple(
             r[...] for r in rest[n_extra + l * n_w : n_extra + (l + 1) * n_w]
         )
 
-    def _proj_in(rest, x):
+    def _proj_in(rest, x, with_act=True):
         """With ``proj``, x is the embedding array embT (E, G·ab) — or the
         stacked code rows (F, G·ab) int32 when ``vocab_sizes`` is set, in
         which case the embedding one-hot matmul (ops/embed.py semantics)
         runs here first.  Compute x₀ = act((kbᵀ @ emb).astype(dt) + bb) —
         same op sequence as models/gnn.py::_proj_rows_t.  Returns
-        (oh, emb, t₀, x₀)."""
+        (oh, emb, t₀, x₀); ``with_act=False`` skips the activation (the
+        save_xs backward reads x₀ back from HBM and only needs t₀)."""
         oh = None
         if vocab_sizes:
             from .embed import onehot_rows
@@ -568,7 +613,7 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
             emb = x
             kbp, bbp = rest[0][...], rest[1][...]
         t0 = _dot_c00(kbp, emb).astype(dt) + bbp
-        return oh, emb, t0, _act_value(act, t0)
+        return oh, emb, t0, (_act_value(act, t0) if with_act else None)
 
     def _drop_ctx(seed_ref, l, lanes):
         # static (layer, block) tag base + the grid step's global lane
@@ -585,11 +630,15 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
         seed_ref = refs[0] if dropout else None
         x_ref, adj_ref, *rest = refs[1 if dropout else 0 :]
         out_ref = rest[n_extra + n_tot]
+        xs_refs = rest[n_extra + n_tot + 1 : n_extra + n_tot + 1 + n_saved]
         adj = adj_ref[...]  # (G, ab, ab) block-diagonal group
         x = x_ref[...]  # (D, G*ab) feature-major lane window (embT if proj)
         if proj:
             _, _, _, x = _proj_in(rest, x)
         for l in range(n_layers):
+            si = l if proj else l - 1  # saved-input slot for layer l
+            if save_xs and 0 <= si < n_saved:
+                xs_refs[si][...] = x
             y = _fwd_math(
                 x, adj, _layer_ws(rest, l), act, n_blocks, dt,
                 drop=_drop_ctx(seed_ref, l, x.shape[-1]),
@@ -601,38 +650,68 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
         seed_ref = refs[0] if dropout else None
         x_ref, adj_ref, *rest = refs[1 if dropout else 0 :]
         g_ref = rest[n_extra + n_tot]
+        xs_in = rest[n_extra + n_tot + 1 : n_extra + n_tot + 1 + n_saved]
+        base = n_extra + n_tot + 1 + n_saved
         if vocab_sizes:
             dx_ref = None  # codes carry no cotangent — no dx output
-            grad_refs = rest[n_extra + n_tot + 1 :]
+            grad_refs = rest[base:]
         else:
-            dx_ref = rest[n_extra + n_tot + 1]
-            grad_refs = rest[n_extra + n_tot + 2 :]
+            dx_ref = rest[base]
+            grad_refs = rest[base + 1 :]
         adj = adj_ref[...]
-        # Recompute pass (stays in VMEM), keeping per-layer inputs and
-        # intermediates so the backward walk costs no extra matmuls.
         x = x_ref[...]
         oh = emb = t0 = None
-        if proj:
-            oh, emb, t0, x = _proj_in(rest, x)
-        xs, saveds = [], []
-        for l in range(n_layers):
-            y, saved = _fwd_math(
-                x, adj, _layer_ws(rest, l), act, n_blocks, dt, keep=True,
-                drop=_drop_ctx(seed_ref, l, x.shape[-1]),
-            )
-            xs.append(x)
-            saveds.append(saved)
-            x = y + x if residual else y
-        # Backward walk; the residual identity path keeps g flowing in fp32.
-        g32 = g_ref[...].astype(jnp.float32)
-        wgrads_layers = [None] * n_layers
-        for l in range(n_layers - 1, -1, -1):
-            dx32, wgrads = _bwd_from_saved(
-                xs[l], adj, _layer_ws(rest, l), g32.astype(dt), saveds[l],
-                act, n_blocks, dt, drop=_drop_ctx(seed_ref, l, g_ref.shape[-1]),
-            )
-            g32 = dx32 + g32 if residual else dx32
-            wgrads_layers[l] = wgrads
+        if save_xs:
+            # Layer inputs stream in from HBM: recompute each layer in
+            # grad_only mode INSIDE the walk — no chain recompute, no
+            # skip-projection/final-block matmuls, one layer's saveds
+            # live at a time.
+            if proj:
+                oh, emb, t0, _ = _proj_in(rest, x, with_act=False)
+            g32 = g_ref[...].astype(jnp.float32)
+            wgrads_layers = [None] * n_layers
+            for l in range(n_layers - 1, -1, -1):
+                si = l if proj else l - 1
+                xl = xs_in[si][...] if si >= 0 else x
+                drop_l = _drop_ctx(seed_ref, l, g_ref.shape[-1])
+                _, saved = _fwd_math(
+                    xl, adj, _layer_ws(rest, l), act, n_blocks, dt,
+                    keep=True, grad_only=True, drop=drop_l,
+                )
+                dx32, wgrads = _bwd_from_saved(
+                    xl, adj, _layer_ws(rest, l), g32.astype(dt), saved,
+                    act, n_blocks, dt, drop=drop_l,
+                )
+                g32 = dx32 + g32 if residual else dx32
+                wgrads_layers[l] = wgrads
+        else:
+            # Recompute pass (stays in VMEM), keeping per-layer inputs and
+            # intermediates so the backward walk costs no extra matmuls;
+            # the LAST layer recomputes grad_only (its output is unused).
+            if proj:
+                oh, emb, t0, x = _proj_in(rest, x)
+            xs, saveds = [], []
+            for l in range(n_layers):
+                last = l == n_layers - 1
+                y, saved = _fwd_math(
+                    x, adj, _layer_ws(rest, l), act, n_blocks, dt, keep=True,
+                    grad_only=last, drop=_drop_ctx(seed_ref, l, x.shape[-1]),
+                )
+                xs.append(x)
+                saveds.append(saved)
+                if not last:
+                    x = y + x if residual else y
+            # Backward walk; the residual identity path keeps g in fp32.
+            g32 = g_ref[...].astype(jnp.float32)
+            wgrads_layers = [None] * n_layers
+            for l in range(n_layers - 1, -1, -1):
+                dx32, wgrads = _bwd_from_saved(
+                    xs[l], adj, _layer_ws(rest, l), g32.astype(dt), saveds[l],
+                    act, n_blocks, dt,
+                    drop=_drop_ctx(seed_ref, l, g_ref.shape[-1]),
+                )
+                g32 = dx32 + g32 if residual else dx32
+                wgrads_layers[l] = wgrads
         extra_wgrads = []
         if proj:
             # through x₀ = act(kbᵀ emb + bb): demb, d_kb, d_bb in-kernel
@@ -720,7 +799,9 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
         flops = 2 * nb * ab * (
             n_layers * ab * d + sum(w.size for w in ws if w.shape[1] > 1)
         )
-        return pl.pallas_call(
+        # vocab mode: xT holds int32 codes — the output is still the
+        # compute-dtype x_other
+        outs = pl.pallas_call(
             fwd_kernel,
             grid=(nb // G,),
             in_specs=[
@@ -729,10 +810,9 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
                 _adj_spec(G, ab),
                 *[_const_spec(w.shape) for w in ws],
             ],
-            out_specs=_lane_spec(d, G * ab),
-            # vocab mode: xT holds int32 codes — the output is still the
-            # compute-dtype x_other
-            out_shape=jax.ShapeDtypeStruct((d, A), dt if vocab_sizes else xT.dtype),
+            out_specs=[_lane_spec(d, G * ab)] * (1 + n_saved),
+            out_shape=[jax.ShapeDtypeStruct((d, A), dt if vocab_sizes else xT.dtype)]
+            + [jax.ShapeDtypeStruct((d, A), dt)] * n_saved,
             cost_estimate=pl.CostEstimate(
                 flops=flops,
                 bytes_accessed=xT.size * 4,
@@ -740,14 +820,16 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
             ),
             interpret=interpret,
         )(*seed_vals, xT, adj, *ws)
+        return outs[0], tuple(outs[1:])
 
-    def backward_call(xT, adj, seed, ws_f32, gT):
+    def backward_call(xT, adj, seed, ws_f32, xs, gT):
         d_in, A = xT.shape
         nb, ab, _ = adj.shape
         ws, e_rows, d = _prep_all(ws_f32)
         seed_specs, seed_vals = _seed_args(seed, dropout)
         G = _pick_group(nb, ab, d, n_layers, n_blocks, dt.itemsize, True,
-                        dropout, extra_rows=e_rows + (d if proj else 0))
+                        dropout, extra_rows=e_rows + (d if proj else 0),
+                        save_xs=save_xs)
         # weight-grad outputs: the in-kernel projection grads (original
         # orientation already) come first, then the prepped layer grads
         wg_shapes = [
@@ -783,6 +865,7 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
                 _adj_spec(G, ab),
                 *[_const_spec(w.shape) for w in ws],
                 _lane_spec(d, G * ab),
+                *[_lane_spec(d, G * ab)] * n_saved,
             ],
             out_specs=[
                 *dx_specs,
@@ -798,7 +881,7 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
                 transcendentals=2 * n_layers * nb * ab * d,
             ),
             interpret=interpret,
-        )(*seed_vals, xT, adj, *ws, gT)
+        )(*seed_vals, xT, adj, *ws, gT, *xs)
         if vocab_sizes:
             dbd, dkb, dbb = outs[0], outs[1], outs[2]
             return None, [
@@ -816,14 +899,15 @@ def _make_stack_op(act, n_blocks, n_layers, dtype_name, interpret, residual,
     # cotangent (integer primals would need float0 bookkeeping).
     @jax.custom_vjp
     def op(xT, adj, seed, *ws_f32):
-        return forward(xT, adj, seed, *ws_f32)
+        return forward(xT, adj, seed, *ws_f32)[0]
 
     def op_fwd(xT, adj, seed, *ws_f32):
-        return forward(xT, adj, seed, *ws_f32), (xT, adj, seed, ws_f32)
+        out, xs = forward(xT, adj, seed, *ws_f32)
+        return out, (xT, adj, seed, ws_f32, xs)
 
     def op_bwd(res, g):
-        xT, adj, seed, ws_f32 = res
-        dx, wgrads = backward_call(xT, adj, seed, ws_f32, g)
+        xT, adj, seed, ws_f32, xs = res
+        dx, wgrads = backward_call(xT, adj, seed, ws_f32, xs, g)
         return (dx, None, jnp.zeros_like(seed), *wgrads)
 
     op.defvjp(op_fwd, op_bwd)
@@ -911,7 +995,7 @@ def binned_mp_stack(
     )
     op = _make_stack_op(
         act, num_mlp_layers, len(weights_layers), dt.name, interpret, True,
-        float(dropout),
+        float(dropout), save_xs=save_xs_enabled(),
     )
     if dropout > 0.0:
         assert drop_seed is not None, "dropout requires a per-step seed"
@@ -973,7 +1057,7 @@ def binned_mp_stack_t(
     op = _make_stack_op(
         act, num_mlp_layers, len(weights_layers), dt.name, interpret, True,
         float(dropout), proj=proj_weights is not None, vocab_sizes=vocab,
-        wide=wide,
+        wide=wide, save_xs=save_xs_enabled(),
     )
     if dropout > 0.0:
         assert drop_seed is not None, "dropout requires a per-step seed"
@@ -1041,8 +1125,12 @@ def _make_ext_layer_op(act, n_blocks, dtype_name, interpret, dropout, ab):
         ws = tuple(r[...] for r in rest[:n_w])
         xa = xa_ref[...]
         drop = _drop_ctx(seed_ref, xa.shape[-1])
-        # recompute pass stays in VMEM (same remat rationale as the stack)
-        _, saved = _fwd_math_xa(xa, ws, act, n_blocks, dt, keep=True, drop=drop)
+        # recompute pass stays in VMEM (same remat rationale as the stack);
+        # grad_only skips the skip-projection + final-block matmuls the
+        # gradient walk never reads
+        _, saved = _fwd_math_xa(
+            xa, ws, act, n_blocks, dt, keep=True, drop=drop, grad_only=True
+        )
         dxa32, wgrads = _bwd_xa_from_saved(
             ws, g_ref[...].astype(dt), saved, act, n_blocks, dt, drop=drop
         )

@@ -13,10 +13,13 @@
 // Python can call them from a thread pool (ctypes releases the GIL).
 
 #include <cstdint>
+#include <cstdio>
 #include <functional>
 #include <cstring>
 #include <algorithm>
+#include <array>
 #include <map>
+#include <set>
 #include <string>
 #include <vector>
 
@@ -91,6 +94,11 @@ struct Mol {
   std::vector<Atom> atoms;
   std::vector<Bond> bonds;
   std::vector<std::vector<int>> adj;  // atom -> bond indices
+  // per-atom neighbor order in SMILES convention (mirrors
+  // chem/smiles.py::Molecule.sorder): preceding atom, bracket implicit-H
+  // slot (-1 until add_hydrogens patches it), ring partners at digit
+  // positions, then branch/chain neighbors as written
+  std::vector<std::vector<int>> sorder;
 
   void build_adj() {
     adj.assign(atoms.size(), {});
@@ -119,6 +127,7 @@ struct RingOpen {
   int atom;
   char bond_char;  // 0 = none
   int direction;
+  int sorder_pos;  // placeholder position in sorder[atom]
 };
 
 bool parse_bracket(const std::string& s, size_t* ip, Atom* atom) {
@@ -197,6 +206,7 @@ bool parse_smiles(const std::string& s, Mol* mol) {
   size_t i = 0, n = s.size();
 
   auto attach = [&](int idx) {
+    mol->sorder.resize(mol->atoms.size());
     if (prev >= 0) {
       int order = 1, dir = 0;
       bool arom = false;
@@ -209,7 +219,11 @@ bool parse_smiles(const std::string& s, Mol* mol) {
         arom = mol->atoms[prev].aromatic && mol->atoms[idx].aromatic;
       }
       mol->bonds.push_back({prev, idx, order, arom, dir});
+      mol->sorder[prev].push_back(idx);
+      mol->sorder[idx].push_back(prev);
     }
+    if (mol->atoms[idx].bracket && mol->atoms[idx].explicit_h > 0)
+      mol->sorder[idx].push_back(-1);  // implicit-H slot (OpenSMILES)
     prev = idx;
     pending = 0;
   };
@@ -273,8 +287,11 @@ bool parse_smiles(const std::string& s, Mol* mol) {
         else arom = mol->atoms[ro.atom].aromatic && mol->atoms[prev].aromatic;
         d = ro.direction ? ro.direction : (dir ? -dir : 0);
         mol->bonds.push_back({ro.atom, prev, order, arom, d});
+        mol->sorder[ro.atom][ro.sorder_pos] = prev;
+        mol->sorder[prev].push_back(ro.atom);
       } else {
-        rings[num] = {prev, bond_char, dir};
+        rings[num] = {prev, bond_char, dir, (int)mol->sorder[prev].size()};
+        mol->sorder[prev].push_back(-2);  // patched at ring closure
       }
       pending = 0;
     } else if (c == ' ' || c == '\t') {
@@ -363,12 +380,19 @@ void assign_implicit_h(Mol* mol) {
 Mol add_hydrogens(const Mol& in) {
   Mol out = in;
   size_t heavy = in.atoms.size();
+  out.sorder.resize(heavy);
   for (size_t i = 0; i < heavy; ++i) {
     int nh = out.atoms[i].total_h();
     for (int k = 0; k < nh; ++k) {
       Atom h; h.z = 1; h.is_h = true;
       out.atoms.push_back(h);
-      out.bonds.push_back({(int)i, (int)out.atoms.size() - 1, 1, false, 0});
+      int hidx = (int)out.atoms.size() - 1;
+      out.bonds.push_back({(int)i, hidx, 1, false, 0});
+      auto& so = out.sorder[i];
+      auto slot = std::find(so.begin(), so.end(), -1);
+      if (slot != so.end()) *slot = hidx;  // bracket implicit-H position
+      else so.push_back(hidx);
+      out.sorder.push_back({(int)i});
     }
     out.atoms[i].explicit_h = 0;
     out.atoms[i].implicit_h = 0;
@@ -429,6 +453,307 @@ std::vector<int> symmetry_ranks(const Mol& mol) {
   return rank;
 }
 
+// ------------------------------------------------- canonical SMILES writer
+// Exact mirror of chem/smiles.py::{canonical_ranks,write_canonical_smiles}:
+// same invariants, refinement, tie-breaking, DFS order, digit allocation,
+// stereo re-orientation, and directional-system flip — the cross-validation
+// test asserts byte-identical strings from both implementations.
+
+struct RefineKey {
+  int r;
+  std::vector<std::pair<int,int>> nb;
+  bool operator<(const RefineKey& o) const {
+    if (r != o.r) return r < o.r;
+    return nb < o.nb;
+  }
+  bool operator==(const RefineKey& o) const { return r == o.r && nb == o.nb; }
+};
+
+template <typename K>
+std::vector<int> compress_keys(const std::vector<K>& keys) {
+  std::vector<K> sorted = keys;
+  std::sort(sorted.begin(), sorted.end());
+  sorted.erase(std::unique(sorted.begin(), sorted.end()), sorted.end());
+  std::vector<int> rank(keys.size());
+  for (size_t i = 0; i < keys.size(); ++i)
+    rank[i] = (int)(std::lower_bound(sorted.begin(), sorted.end(), keys[i]) -
+                    sorted.begin());
+  return rank;
+}
+
+std::vector<int> refine_ranks(const Mol& mol, std::vector<int> ranks) {
+  size_t n = mol.atoms.size();
+  while (true) {
+    std::vector<RefineKey> keys(n);
+    for (size_t i = 0; i < n; ++i) {
+      keys[i].r = ranks[i];
+      for (int b : mol.adj[i])
+        keys[i].nb.push_back({ranks[mol.bonds[b].other((int)i)],
+                              mol.bonds[b].order});
+      std::sort(keys[i].nb.begin(), keys[i].nb.end());
+    }
+    std::vector<int> next = compress_keys(keys);
+    if (next == ranks) return ranks;
+    ranks = std::move(next);
+  }
+}
+
+std::vector<int> canonical_ranks(const Mol& mol) {
+  size_t n = mol.atoms.size();
+  std::vector<std::array<int,7>> init(n);
+  for (size_t i = 0; i < n; ++i) {
+    const Atom& a = mol.atoms[i];
+    init[i] = {a.is_h ? 1 : 0, a.z, a.charge, a.total_h(),
+               (int)mol.adj[i].size(), a.aromatic ? 1 : 0, a.isotope};
+  }
+  std::vector<int> ranks = refine_ranks(mol, compress_keys(init));
+  while (true) {
+    std::map<int,int> counts;
+    for (int r : ranks) counts[r]++;
+    int r0 = -1;
+    for (auto& [r, c] : counts) if (c > 1) { r0 = r; break; }
+    if (r0 < 0) break;
+    int chosen = -1;
+    for (size_t i = 0; i < n; ++i)
+      if (ranks[i] == r0) { chosen = (int)i; break; }
+    std::vector<std::pair<int,int>> keys(n);
+    for (size_t i = 0; i < n; ++i)
+      keys[i] = {ranks[i], (int)i == chosen ? 0 : 1};
+    ranks = refine_ranks(mol, compress_keys(keys));
+  }
+  return ranks;
+}
+
+std::string bond_char_out(const Mol& mol, int bi, int u) {
+  const Bond& b = mol.bonds[bi];
+  if (b.direction) {
+    int d = b.a1 == u ? b.direction : -b.direction;
+    return d > 0 ? "/" : "\\";
+  }
+  if (b.aromatic) return "";
+  if (b.order == 1 && mol.atoms[b.a1].aromatic && mol.atoms[b.a2].aromatic)
+    return "-";
+  switch (b.order) { case 2: return "="; case 3: return "#"; case 4: return "$"; }
+  return "";
+}
+
+bool perm_parity_even(const std::vector<int>& src, const std::vector<int>& dst) {
+  std::vector<int> perm;
+  for (int x : dst)
+    perm.push_back((int)(std::find(src.begin(), src.end(), x) - src.begin()));
+  int inv = 0;
+  for (size_t i = 0; i < perm.size(); ++i)
+    for (size_t j = i + 1; j < perm.size(); ++j)
+      if (perm[i] > perm[j]) ++inv;
+  return inv % 2 == 0;
+}
+
+std::string atom_str(const Mol& mol, int u, const std::vector<int>& out_order) {
+  const Atom& a = mol.atoms[u];
+  std::string sym = ELEMENTS[a.z - 1];
+  if (a.aromatic) for (auto& c : sym) c = (char)tolower(c);
+  std::string s = "[";
+  if (a.isotope) s += std::to_string(a.isotope);
+  s += sym;
+  if (a.chiral) {
+    const std::vector<int>& ref = mol.sorder[u];
+    std::vector<int> rs = ref, os = out_order;
+    std::sort(rs.begin(), rs.end());
+    std::sort(os.begin(), os.end());
+    if (ref.size() == 4 && out_order.size() == 4 && rs == os) {
+      int tag = perm_parity_even(ref, out_order) ? a.chiral : 3 - a.chiral;
+      s += tag == 1 ? "@" : "@@";
+    }
+  }
+  if (a.total_h()) {
+    s += "H";
+    if (a.total_h() > 1) s += std::to_string(a.total_h());
+  }
+  if (a.charge) {
+    s += a.charge > 0 ? "+" : "-";
+    if (std::abs(a.charge) > 1) s += std::to_string(std::abs(a.charge));
+  }
+  return s + "]";
+}
+
+// directional systems: active marks + union-find (chem/smiles.py twin)
+struct DirSystems {
+  std::set<int> active;
+  std::map<int,int> parent;
+  int find(int x) {
+    while (parent[x] != x) { parent[x] = parent[parent[x]]; x = parent[x]; }
+    return x;
+  }
+};
+
+DirSystems directional_systems(const Mol& mol) {
+  DirSystems ds;
+  std::map<int, std::vector<int>> dir_at;
+  for (size_t bi = 0; bi < mol.bonds.size(); ++bi) {
+    const Bond& b = mol.bonds[bi];
+    if (b.order == 1 && b.direction) {
+      dir_at[b.a1].push_back((int)bi);
+      dir_at[b.a2].push_back((int)bi);
+    }
+  }
+  auto uni = [&](int a, int b) {
+    int ra = ds.find(a), rb = ds.find(b);
+    if (ra != rb) ds.parent[std::max(ra, rb)] = std::min(ra, rb);
+  };
+  for (const Bond& b : mol.bonds) {
+    if (b.order != 2 || b.aromatic) continue;
+    auto i1 = dir_at.find(b.a1), i2 = dir_at.find(b.a2);
+    if (i1 == dir_at.end() || i2 == dir_at.end()) continue;
+    std::vector<int> grp = i1->second;
+    grp.insert(grp.end(), i2->second.begin(), i2->second.end());
+    for (int bi : grp) {
+      ds.active.insert(bi);
+      ds.parent.emplace(bi, bi);
+    }
+    for (size_t k = 1; k < grp.size(); ++k) uni(grp[0], grp[k]);
+  }
+  return ds;
+}
+
+struct FragWriter {
+  const Mol& mol;
+  const std::vector<int>& ranks;
+  DirSystems& dsys;
+  std::map<int, std::vector<std::pair<int,int>>> children;  // u -> (v, bond)
+  std::map<int, std::vector<int>> ring_open, ring_close;
+  std::set<int> visited, done_bonds;
+  // token stream: plain strings + directional placeholders (sys, char)
+  struct Tok { std::string s; int sys = -1; char dchar = 0; };
+  std::vector<Tok> out;
+  std::map<int,int> digit_of;
+  std::set<int> in_use;
+
+  FragWriter(const Mol& m, const std::vector<int>& r, DirSystems& d)
+      : mol(m), ranks(r), dsys(d) {}
+
+  void discover(int u) {
+    visited.insert(u);
+    children[u];
+    std::vector<std::pair<std::pair<int,int>, std::pair<int,int>>> nbrs;
+    for (int bi : mol.adj[u]) {
+      int v = mol.bonds[bi].other(u);
+      nbrs.push_back({{ranks[v], bi}, {bi, v}});
+    }
+    std::sort(nbrs.begin(), nbrs.end());
+    for (auto& [key, bv] : nbrs) {
+      auto [bi, v] = bv;
+      if (done_bonds.count(bi)) continue;
+      done_bonds.insert(bi);
+      if (visited.count(v)) {
+        ring_close[u].push_back(bi);
+        ring_open[v].push_back(bi);
+      } else {
+        children[u].push_back({v, bi});
+        discover(v);
+      }
+    }
+  }
+
+  int take_digit() {
+    int d = 1;
+    while (in_use.count(d)) ++d;
+    in_use.insert(d);
+    return d;
+  }
+
+  static std::string digit_str(int d) {
+    if (d < 10) return std::to_string(d);
+    char buf[16];
+    snprintf(buf, sizeof buf, "%%%02d", d);
+    return buf;
+  }
+
+  void bond_tok(int bi, int u) {
+    const Bond& b = mol.bonds[bi];
+    if (b.direction) {
+      if (dsys.active.count(bi)) {
+        int d = b.a1 == u ? b.direction : -b.direction;
+        Tok t; t.sys = dsys.find(bi); t.dchar = d > 0 ? '/' : '\\';
+        out.push_back(t);
+      }
+      return;  // inactive marks dropped
+    }
+    out.push_back({bond_char_out(mol, bi, u)});
+  }
+
+  void emit(int u, int parent) {
+    std::vector<int> order;
+    if (parent >= 0) order.push_back(parent);
+    for (int bi : ring_open[u]) order.push_back(mol.bonds[bi].other(u));
+    for (int bi : ring_close[u]) order.push_back(mol.bonds[bi].other(u));
+    for (auto& [v, bi] : children[u]) order.push_back(v);
+    out.push_back({atom_str(mol, u, order)});
+    for (int bi : ring_open[u]) {
+      digit_of[bi] = take_digit();
+      out.push_back({digit_str(digit_of[bi])});
+    }
+    for (int bi : ring_close[u]) {
+      int d = digit_of[bi];
+      digit_of.erase(bi);
+      in_use.erase(d);
+      bond_tok(bi, u);
+      out.push_back({digit_str(d)});
+    }
+    auto& ch = children[u];
+    for (size_t k = 0; k < ch.size(); ++k) {
+      bool last = k + 1 == ch.size();
+      if (!last) out.push_back({"("});
+      bond_tok(ch[k].second, u);
+      emit(ch[k].first, u);
+      if (!last) out.push_back({")"});
+    }
+  }
+
+  std::string finish() {
+    std::map<int,bool> flip;
+    for (auto& t : out)
+      if (t.sys >= 0 && !flip.count(t.sys)) flip[t.sys] = t.dchar == '\\';
+    std::string s;
+    for (auto& t : out) {
+      if (t.sys >= 0)
+        s += ((t.dchar == '/') == flip[t.sys]) ? '\\' : '/';
+      else
+        s += t.s;
+    }
+    return s;
+  }
+};
+
+std::string write_canonical_smiles(const Mol& mol) {
+  size_t n = mol.atoms.size();
+  std::vector<int> ranks = canonical_ranks(mol);
+  DirSystems dsys = directional_systems(mol);
+  std::vector<char> seen(n, 0);
+  std::vector<size_t> by_rank(n);
+  for (size_t i = 0; i < n; ++i) by_rank[i] = i;
+  std::sort(by_rank.begin(), by_rank.end(),
+            [&](size_t a, size_t b) { return ranks[a] < ranks[b]; });
+  std::string result;
+  bool first = true;
+  for (size_t start : by_rank) {
+    if (seen[start]) continue;
+    std::vector<size_t> stack = {start};
+    seen[start] = 1;
+    while (!stack.empty()) {
+      size_t u = stack.back(); stack.pop_back();
+      for (int v : mol.neighbors((int)u))
+        if (!seen[v]) { seen[v] = 1; stack.push_back(v); }
+    }
+    FragWriter fw(mol, ranks, dsys);
+    fw.discover((int)start);
+    fw.emit((int)start, -1);
+    if (!first) result += ".";
+    result += fw.finish();
+    first = false;
+  }
+  return result;
+}
+
 // --------------------------------------------------------------- features
 
 struct Features {
@@ -440,6 +765,7 @@ struct Features {
   std::vector<int32_t> cis;              // (P,2)
   std::vector<int32_t> trans;            // (Q,2)
   int total_charge = 0;
+  std::string processed_smiles;          // canonical explicit-H output
 };
 
 void multi_hop_edges(const Mol& mol, int max_hops, Features* out) {
@@ -537,18 +863,84 @@ void double_bond_stereo(const Mol& mol, Features* out) {
   }
 }
 
+// CIP hierarchical-digraph branch key (mirrors chem/smiles.py::_cip_key):
+// phantom duplicate leaves at multiple bonds, duplicate leaves at ring
+// closures, siblings order-canonicalized by sorting.  Serialized to a
+// string so equality/sort are byte-wise; the exact encoding differs from
+// the Python tuple form but induces the same equality partition, which is
+// all the pairwise-distinct test consumes.  Returns false past the node
+// budget (caller falls back to symmetry ranks, like Python).
+constexpr int kCipNodeBudget = 65536;
+
+bool cip_key(const Mol& mol, int prev, int cur, std::vector<uint8_t>& mask,
+             int& budget, std::string* out) {
+  if (++budget > kCipNodeBudget) return false;
+  const Atom& a = mol.atoms[cur];
+  std::vector<std::string> children;
+  for (int bi : mol.adj[cur]) {
+    const Bond& b = mol.bonds[bi];
+    int other = b.other(cur);
+    std::string dup;
+    dup.push_back('(');
+    dup.push_back((char)mol.atoms[other].z);
+    dup.push_back((char)0);
+    dup.push_back((char)0);
+    dup.push_back(')');
+    for (int k = 1; k < b.order; ++k) children.push_back(dup);
+    if (other == prev) continue;
+    if (mask[other]) {
+      children.push_back(dup);  // ring closure -> duplicate leaf
+    } else {
+      mask[cur] = 1;
+      std::string sub;
+      bool ok = cip_key(mol, cur, other, mask, budget, &sub);
+      mask[cur] = 0;
+      if (!ok) return false;
+      children.push_back(std::move(sub));
+    }
+  }
+  std::sort(children.begin(), children.end(), std::greater<std::string>());
+  out->push_back('(');
+  out->push_back((char)a.z);
+  out->push_back((char)(a.isotope & 0xff));
+  out->push_back((char)((a.isotope >> 8) & 0xff));
+  for (auto& c : children) out->append(c);
+  out->push_back(')');
+  return true;
+}
+
+bool cip_neighbors_distinct(const Mol& mol, int idx,
+                            const std::vector<int>& nbrs, bool* distinct) {
+  std::vector<uint8_t> mask(mol.atoms.size(), 0);
+  mask[idx] = 1;
+  int budget = 0;
+  std::vector<std::string> keys;
+  for (int j : nbrs) {
+    std::string k;
+    if (!cip_key(mol, idx, j, mask, budget, &k)) return false;
+    keys.push_back(std::move(k));
+  }
+  std::sort(keys.begin(), keys.end());
+  *distinct = std::adjacent_find(keys.begin(), keys.end()) == keys.end();
+  return true;
+}
+
 void chiral_centers(const Mol& mol, Features* out) {
-  std::vector<int> ranks = symmetry_ranks(mol);
+  std::vector<int> ranks;  // symmetry-rank fallback, computed lazily
   for (size_t i = 0; i < mol.atoms.size(); ++i) {
     if (mol.atoms[i].is_h) continue;
     std::vector<int> nbrs = mol.neighbors((int)i);
     bool center = false;
     if (mol.atoms[i].chiral) center = true;
     else if (nbrs.size() == 4) {
-      std::vector<int> rs;
-      for (int nb : nbrs) rs.push_back(ranks[nb]);
-      std::sort(rs.begin(), rs.end());
-      center = std::unique(rs.begin(), rs.end()) == rs.end();
+      if (!cip_neighbors_distinct(mol, (int)i, nbrs, &center)) {
+        // digraph budget overflow -> global symmetry-rank approximation
+        if (ranks.empty()) ranks = symmetry_ranks(mol);
+        std::vector<int> rs;
+        for (int nb : nbrs) rs.push_back(ranks[nb]);
+        std::sort(rs.begin(), rs.end());
+        center = std::unique(rs.begin(), rs.end()) == rs.end();
+      }
     }
     if (center && nbrs.size() == 4)
       for (int nb : nbrs) out->tet.push_back(nb);
@@ -580,6 +972,10 @@ Features* featurize(const std::string& smiles, int max_hops) {
   multi_hop_edges(mol, max_hops, f);
   double_bond_stereo(mol, f);
   chiral_centers(mol, f);
+  // processed canonical SMILES (explicit-H, isomeric) — reference stores
+  // MolToSmiles(AddHs(mol), isomericSmiles=True, allHsExplicit=True)
+  // (src/datasets/features.py:173,333)
+  f->processed_smiles = write_canonical_smiles(mol);
   return f;
 }
 
@@ -625,6 +1021,9 @@ int aimnet_num_cis(void* h) { return (int)(static_cast<Features*>(h)->cis.size()
 const int32_t* aimnet_cis(void* h) { return static_cast<Features*>(h)->cis.data(); }
 int aimnet_num_trans(void* h) { return (int)(static_cast<Features*>(h)->trans.size() / 2); }
 const int32_t* aimnet_trans(void* h) { return static_cast<Features*>(h)->trans.data(); }
+const char* aimnet_smiles(void* h) {
+  return static_cast<Features*>(h)->processed_smiles.c_str();
+}
 
 }  // extern "C"
 
@@ -650,6 +1049,7 @@ struct BatchResult {
   std::vector<int64_t> cis_offsets, trans_offsets;  // rows of 2
   std::vector<int32_t> cis, trans;
   std::vector<int32_t> total_charge;    // (n,)
+  std::vector<std::string> smiles;      // (n,) processed canonical SMILES
 };
 
 }  // namespace
@@ -704,7 +1104,10 @@ void* aimnet_featurize_batch(const char** smiles, int n, int max_hops,
       r->cis.insert(r->cis.end(), f->cis.begin(), f->cis.end());
       r->trans.insert(r->trans.end(), f->trans.begin(), f->trans.end());
       r->total_charge[i] = f->total_charge;
+      r->smiles.push_back(std::move(f->processed_smiles));
       delete f;
+    } else {
+      r->smiles.emplace_back();
     }
     r->atom_offsets.push_back((int64_t)r->atomic_numbers.size());
     r->edge_offsets.push_back((int64_t)r->edge_dst.size());
@@ -733,6 +1136,7 @@ const int32_t* aimnet_batch_cis(void* h) { return BR->cis.data(); }
 const int64_t* aimnet_batch_trans_offsets(void* h) { return BR->trans_offsets.data(); }
 const int32_t* aimnet_batch_trans(void* h) { return BR->trans.data(); }
 const int32_t* aimnet_batch_total_charge(void* h) { return BR->total_charge.data(); }
+const char* aimnet_batch_smiles(void* h, int i) { return BR->smiles[i].c_str(); }
 #undef BR
 
 }  // extern "C"

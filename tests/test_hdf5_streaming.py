@@ -41,8 +41,11 @@ def mem_ds(rng):
 def test_streaming_writer_matches_batch_writer(tmp_path, mem_ds):
     p_stream = str(tmp_path / "stream.h5")
     p_batch = str(tmp_path / "batch.h5")
+    # write from the RAW input strings (featurizing mem_ds.smiles — now the
+    # processed canonical form — would give canonical atom order, while
+    # mem_ds's feature arrays are in input order)
     kept = write_hdf5_streaming(
-        p_stream, mem_ds.smiles, mem_ds.targets, 3, chunk_size=7, target_columns=["a", "b", "c"]
+        p_stream, SMILES, mem_ds.targets, 3, chunk_size=7, target_columns=["a", "b", "c"]
     )
     assert kept == len(mem_ds)
     write_hdf5(p_batch, mem_ds, target_columns=["a", "b", "c"])

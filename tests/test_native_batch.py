@@ -154,7 +154,10 @@ def test_lazy_features_materialize_equal():
     keep_s = [s for s, f in zip(SMILES, feats) if f is not None]
     keep = [f for f in feats if f is not None]
     cache, _ = ColumnarCache.from_smiles(SMILES, 3)
-    lazy = LazyFeatures(cache, keep_s, 3)
+    # materialized MolFeatures carry the PROCESSED canonical smiles (round
+    # 4) — the cache provides them; keep_s is only the raw-input list
+    assert len(keep_s) == len(cache.processed_smiles)
+    lazy = LazyFeatures(cache, cache.processed_smiles, 3)
     assert len(lazy) == len(keep)
     for ref, got in zip(keep, lazy):
         assert len(ref.edge_hops) == len(got.edge_hops)
