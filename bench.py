@@ -111,7 +111,28 @@ def train_step_flops(cfg, atoms: int, edges: int, graphs: int) -> float:
     return total
 
 
-def measure(num_graphs: int):
+QM9_CSV = "/root/reference/sample-data/qm9/sample-splits/test.csv"
+
+
+def _real_qm9_batch(num_graphs: int, cfg):
+    """Batch of real featurized QM9 molecules (hygiene row: synthetic
+    mean-18-atom molecules must be representative — VERDICT r3 weak 6).
+    Repeats the 13,388-molecule sample split if num_graphs exceeds it."""
+    import pandas as pd
+
+    from aimnet_x2d_tpu.data.batching import collate
+    from aimnet_x2d_tpu.data.dataset import MoleculeDataset
+
+    smiles = pd.read_csv(QM9_CSV)["smiles"].astype(str).tolist()
+    reps = (num_graphs + len(smiles) - 1) // len(smiles)
+    smiles = (smiles * reps)[:num_graphs]
+    ds = MoleculeDataset.from_smiles(
+        smiles, np.zeros((len(smiles), 12), np.float32), max_hops=NUM_HOPS
+    )
+    return collate(list(ds.features), ds.targets, num_hops=NUM_HOPS)
+
+
+def measure(num_graphs: int, real_qm9: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -122,14 +143,17 @@ def measure(num_graphs: int):
 
     cfg = _flagship_config()
     model = GNN(cfg)
-    batch = make_synthetic_batch(
-        num_graphs=num_graphs,
-        mean_atoms=18,
-        num_hops=NUM_HOPS,
-        num_tasks=12,
-        seed=0,
-        with_stereo=cfg.use_stereochemistry,
-    )
+    if real_qm9:
+        batch = _real_qm9_batch(num_graphs, cfg)
+    else:
+        batch = make_synthetic_batch(
+            num_graphs=num_graphs,
+            mean_atoms=18,
+            num_hops=NUM_HOPS,
+            num_tasks=12,
+            seed=0,
+            with_stereo=cfg.use_stereochemistry,
+        )
     if os.environ.get("BENCH_BINNED", "1") == "1" and jax.default_backend() == "tpu":
         # bin-packed dense layout (data/binning.py): MP aggregation and
         # pooling as batched MXU matmuls — the fastest path
@@ -192,6 +216,10 @@ def main():
         r = measure(int(sys.argv[2]))
         print(json.dumps(r))
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--single-qm9":
+        r = measure(int(sys.argv[2]), real_qm9=True)
+        print(json.dumps(r))
+        return
 
     if os.environ.get("BENCH_PARITY", "1") == "1":
         # On-device Mosaic-vs-XLA kernel parity gate, DEFAULT-ON (VERDICT
@@ -226,6 +254,26 @@ def main():
             file=sys.stderr,
         )
         sys.exit(1)
+
+    if os.environ.get("BENCH_QM9", "1") == "1" and r["platform"] != "cpu":
+        # hygiene row (VERDICT r3 weak 6): one measurement on REAL
+        # featurized QM9 molecules so the synthetic mean-18-atom batch is
+        # demonstrably representative.  Fresh subprocess per CLAUDE.md.
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single-qm9", "8192"],
+            capture_output=True,
+            text=True,
+        )
+        if out.returncode == 0:
+            sub = json.loads(out.stdout.strip().splitlines()[-1])
+            print(
+                f"# real-QM9 graphs=8192 atoms={sub['atoms']} "
+                f"edges={sub['edges']} step={sub['step_ms']:.2f}ms "
+                f"mfu={sub['mfu']*100:.1f}%",
+                file=sys.stderr,
+            )
+        else:
+            print("# real-QM9 row FAILED (non-fatal)", file=sys.stderr)
 
     if os.environ.get("BENCH_SWEEP", "0") == "1":
         # batch-size linearity: time must grow with work (fresh process per

@@ -100,32 +100,38 @@ def main() -> int:
     opt_state = opt.init(params)
     step = make_train_step(model, tc, opt, mesh=None)
 
-    # end-to-end: prefetch thread + jitted step (the trainer's real path)
+    # end-to-end: prefetch thread + jitted step (the trainer's real path).
+    # Per-step times are recorded individually: on the axon remote runtime
+    # every NEW shape bucket (bin-count ladder step) pays a minutes-long
+    # remote compile mid-run, so the mean is meaningless — report the
+    # median/p90 steady state and the outlier count separately.
     n_steps = 0
-    warm_done = None
     loss = None
+    times = []
     target_steps = int(os.environ.get("CFG4_STEPS", "103"))
     for epoch in range(1000):
         loader.set_epoch(epoch)
         for batch, _ in prefetch_batches(loader, None):
+            t0 = time.perf_counter()
             params, opt_state, loss, n = step(
                 params, opt_state, batch, jnp.float32(1e-4), jax.random.PRNGKey(1)
             )
+            loss.block_until_ready()
+            times.append(time.perf_counter() - t0)
             n_steps += 1
-            if n_steps == 3:  # first steps pay the remote compile
-                loss.block_until_ready()
-                warm_done = time.perf_counter()
             if n_steps >= target_steps:
                 break
         if n_steps >= target_steps:
             break
-    loss.block_until_ready()
-    dt = time.perf_counter() - warm_done
-    steps = n_steps - 3
-    step_ms = dt / steps * 1e3
-    e2e_rate = steps * 8192 / dt
+    warm = np.array(times[3:])
+    med = float(np.median(warm)) * 1e3
+    p90 = float(np.percentile(warm, 90)) * 1e3
+    outliers = int(np.sum(warm > 4 * np.median(warm)))
+    e2e_rate = 8192 / (med / 1e3)
     print(
-        f"# train e2e: {step_ms:.1f} ms/step at 8192 mols = {e2e_rate:.0f} mol/s "
+        f"# train e2e: median {med:.1f} ms/step (p90 {p90:.1f}, "
+        f"{outliers} recompile outliers of {len(warm)}) at 8192 mols = "
+        f"{e2e_rate:.0f} mol/s steady-state "
         f"(loader alone {loader_rate:.0f} mol/s -> "
         f"{'loader-bound' if loader_rate < 1.05 * e2e_rate else 'device-bound, loader hidden'}), "
         f"loss={float(loss):.4f}, peak RSS {rss_gb():.2f} GB"
