@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from functools import partial
 from typing import Iterator, List, Optional, Sequence, Tuple
 
@@ -235,13 +236,22 @@ class BatchLoader:
         self.bin_ab = bin_ab
         self.bin_mb = bin_mb
         self._bin_pins: dict = {}
-        # Two rotating scratch sets for the native builder: batch N+2 reuses
+        # Rotating scratch sets for the native builder: batch N+k reuses
         # batch N's host buffers, safe only when batches are copied off-host
-        # (device_put) — i.e. on a real accelerator, not the CPU backend
-        # where jax may alias numpy memory.
+        # (device_put) before reuse — i.e. on a real accelerator, not the
+        # CPU backend where jax may alias numpy memory.  The rotation depth
+        # must cover the prefetch pipeline's in-flight batches
+        # (native_batch.SCRATCH_SETS; round-4 root-cause note there).
         import jax as _jax
 
-        self._scratches = [{}, {}] if _jax.default_backend() == "tpu" else None
+        from .native_batch import SCRATCH_SETS
+
+        n_sets = SCRATCH_SETS * max(1, stack_devices)
+        self._scratches = (
+            [{} for _ in range(n_sets)]
+            if _jax.default_backend() == "tpu"
+            else None
+        )
         self._scratch_i = 0
         # Fused-kernel layouts (ops/fused_edge.py): auto-enabled on TPU
         # for the plain (non-graph-sharded) path where the model uses them.
@@ -264,6 +274,7 @@ class BatchLoader:
 
             slim_edges = (
                 binned and halo_shards == 1 and _j2.default_backend() == "tpu"
+                and os.environ.get("AIMNET_SLIM_EDGES", "1") != "0"
             )
         self.slim_edges = bool(slim_edges) and binned and halo_shards == 1
         # running per-device slot minimums so halo batches keep one static
@@ -423,7 +434,7 @@ class BatchLoader:
             scratch = None
             if self._scratches is not None:
                 scratch = self._scratches[self._scratch_i]
-                self._scratch_i = 1 - self._scratch_i
+                self._scratch_i = (self._scratch_i + 1) % len(self._scratches)
             return build_binned_batch(
                 cache,
                 idx,

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 from typing import Iterator, List, Optional, Sequence, Tuple
 
 import h5py
@@ -829,6 +830,7 @@ class HDF5BatchLoader:
 
             slim_edges = (
                 binned and halo_shards == 1 and jax.default_backend() == "tpu"
+                and os.environ.get("AIMNET_SLIM_EDGES", "1") != "0"
             )
         self.slim_edges = bool(slim_edges) and binned and halo_shards == 1
         self._epoch = 0
@@ -1004,8 +1006,12 @@ class HDF5BatchLoader:
         if rng is not None:
             rng.shuffle(starts)
         if not hasattr(self, "_scratches"):
+            # rotation depth must cover the prefetch pipeline's in-flight
+            # batches (native_batch.SCRATCH_SETS; round-4 root-cause note)
+            from .native_batch import SCRATCH_SETS
+
             self._scratches = (
-                [{} for _ in range(2 * max(1, self.stack_devices))]
+                [{} for _ in range(SCRATCH_SETS * max(1, self.stack_devices))]
                 if jax.default_backend() == "tpu"
                 else None
             )

@@ -318,6 +318,20 @@ def _gather_ragged(values, offsets, indices, starts):
     return out + (shift[:, None] if out.ndim == 2 else shift)
 
 
+# Rotating scratch sets a loader must cycle through so a batch's host
+# buffers are never rebuilt before the training pipeline has device_put
+# them.  The two-stage prefetch (training/trainer.py::prefetch_batches,
+# size=2) can hold 1 being-built + 2 collate-queued + 1 in-transfer +
+# 2 device-queued + 1 in-step = 7 batches in flight; 8 adds a margin.
+# ROUND-4 ROOT CAUSE: the round-3 prefetch split collate and device_put
+# into separate threads while loaders rotated only TWO sets, so queued
+# batches were silently overwritten by later ones before transfer —
+# features decorrelated from targets and TPU training collapsed to
+# mean prediction (regression test:
+# tests/test_review_fixes.py::test_scratch_rotation_covers_prefetch).
+SCRATCH_SETS = 8
+
+
 def build_binned_batch(
     cache: ColumnarCache,
     indices: np.ndarray,

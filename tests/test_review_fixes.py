@@ -290,3 +290,56 @@ def test_evaluate_empty_shard_multihost_state_length(monkeypatch, rng):
     # state vector = [loss_sum, n_sum] + MetricAccumulator state (1 + 4T)
     assert captured["len"] == 3 + 4 * T
     assert "mae" in metrics
+
+
+def test_scratch_rotation_covers_prefetch(rng):
+    """Round-4 root cause: the two-stage prefetch holds up to ~7 batches in
+    flight, but loaders rotated only TWO native-builder scratch sets, so a
+    queued batch's host buffers were overwritten before jax.device_put read
+    them — features decorrelated from targets, and every TPU training run
+    silently collapsed to mean prediction (quality R² 0.29 vs 0.885).
+
+    Asserts (a) the rotation constant covers the prefetch pipeline depth,
+    and (b) with the TPU scratch path forced on, a built batch's arrays
+    survive the construction of SCRATCH_SETS-1 further batches bit-exactly.
+    """
+    import numpy as np
+
+    from aimnet_x2d_tpu.chem.native import native_available
+    from aimnet_x2d_tpu.data.dataset import BatchLoader, MoleculeDataset
+    from aimnet_x2d_tpu.data.native_batch import SCRATCH_SETS
+
+    # prefetch pipeline: 1 being-built + size q_host + 1 in-transfer +
+    # size q_dev + 1 in-step  (training/trainer.py::prefetch_batches size=2)
+    assert SCRATCH_SETS >= 1 + 2 + 1 + 2 + 1
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("native builder required")
+
+    smiles = ["CCO", "c1ccccc1", "CC(=O)O", "CCN", "C1CCCCC1", "CC(C)C",
+              "OCC(O)CO", "c1ccncc1", "CCOC(=O)C", "NC(=O)N"] * 20
+    ds = MoleculeDataset.from_smiles(
+        smiles, rng.normal(size=(len(smiles), 3)).astype(np.float32), max_hops=3
+    )
+    loader = BatchLoader(ds, 16, shuffle=True, seed=0, binned=True)
+    assert loader.binned, "test requires the binned native path"
+    # force the TPU scratch behavior on the CPU backend
+    loader._scratches = [{} for _ in range(SCRATCH_SETS)]
+    loader._scratch_i = 0
+
+    it = iter(loader)
+    b0 = next(it)
+    snaps = {
+        name: np.array(getattr(b0, name), copy=True)
+        for name in ("atom_type", "atom_mol", "bin_adj", "pool_mat", "targets")
+        if getattr(b0, name) is not None
+    }
+    for _ in range(SCRATCH_SETS - 1):
+        next(it)
+    mutated = [
+        k for k, v in snaps.items()
+        if not np.array_equal(v, np.asarray(getattr(b0, k)))
+    ]
+    assert not mutated, f"batch buffers overwritten while in flight: {mutated}"
