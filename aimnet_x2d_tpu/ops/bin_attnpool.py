@@ -120,12 +120,23 @@ def _pick_group(nb, mb, ab, interpret, bwd=False):
             interpret or ((g * ab) % 128 == 0 and (g * mb) % 128 == 0)
         )
         return g if legal else None
-    for G in range(1, min(nb, 64) + 1):
-        if nb % G:
-            continue
-        if interpret or ((G * ab) % 128 == 0 and (G * mb) % 128 == 0):
-            return G
-    return None
+    legal_gs = [
+        G
+        for G in range(1, min(nb, 64) + 1)
+        if nb % G == 0
+        and (interpret or ((G * ab) % 128 == 0 and (G * mb) % 128 == 0))
+    ]
+    if not legal_gs:
+        return None
+    if bwd:
+        # round-4 on-chip sweep: the backward's softmax/pool chain
+        # amortizes issue overhead at G=8 (48.8 → 48.3 ms/step at 32k;
+        # G=16 measured the same within noise) — prefer the largest legal
+        # group ≤ 8; the forward stays at the smallest legal group (it
+        # must fit default-scoped-vmem contexts like init/eval).
+        le8 = [G for G in legal_gs if G <= 8]
+        return max(le8) if le8 else legal_gs[0]
+    return legal_gs[0]
 
 
 def _proj_act(kb, bb, emb, act_name, dt):

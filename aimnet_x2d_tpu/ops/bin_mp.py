@@ -546,7 +546,12 @@ def _pick_group(nb, ab, D, n_layers, n_blocks, itemsize, bwd, dropout,
             # scoped-vmem limit even at the ~2x undercount.
             budget = (17 if bwd else 10) * 2**20
         G = max(1, int(budget // (per_lane * ab)))
-    G = min(G, nb, 16)
+    # Forward cap 8 (was 16): the round-4 on-chip sweep measured G=8 as
+    # the fastest forward group at the flagship shape (49.8 → 46.5 ms/step
+    # at 32k together with the attnpool backward retune; BASELINE.md
+    # round-4 table) — larger groups add VMEM pressure without widening
+    # MXU issue.  The backward stays budget-limited (G=5 at the flagship).
+    G = min(G, nb, 16 if bwd else 8)
     while nb % G:
         G -= 1
     return G
