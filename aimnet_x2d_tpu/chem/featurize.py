@@ -98,6 +98,12 @@ def _find_chiral_centers(mol: sm.Molecule) -> List[int]:
     ring closures — ``sm.cip_neighbors_distinct``).  On digraph-budget
     overflow (pathological fused polycycles) falls back to the global
     symmetry-rank approximation (round-1..3 behavior, PARITY.md).
+
+    Assigned (@/@@) tags get the AssignStereochemistry(cleanIt=True)
+    analog (reference: src/datasets/features.py:169-176 cleans before
+    FindMolChiralCenters): a tag on a non-stereogenic atom is dropped, so
+    assigned and unassigned atoms pass the SAME distinct-branches test —
+    [C@@]1(F)(Cl)CC1 emits no spurious tet_nbrs row (ADVICE r4).
     """
     ranks = None
     centers = []
@@ -105,9 +111,6 @@ def _find_chiral_centers(mol: sm.Molecule) -> List[int]:
         if atom.is_h:
             continue
         nbrs = mol.neighbors(idx)
-        if atom.chiral:
-            centers.append(idx)
-            continue
         if len(nbrs) != 4:
             continue
         distinct = sm.cip_neighbors_distinct(mol, idx)

@@ -23,6 +23,7 @@ Known deviations from RDKit (documented, see chem/featurize.py):
 from __future__ import annotations
 
 import dataclasses
+import sys
 from typing import Dict, List, Optional, Tuple
 
 from .periodic import (
@@ -499,13 +500,19 @@ def total_formal_charge(mol: Molecule) -> int:
 
 
 _CIP_NODE_BUDGET = 65536
+# Explicit depth bound (shared with native/featurizer.cpp) so long-chain
+# molecules take the deterministic symmetry-rank fallback in BOTH
+# languages instead of Python hitting RecursionError (nondeterministic wrt
+# surrounding stack) while the C++ twin recurses on the native stack.
+_CIP_MAX_DEPTH = 512
 
 
 class _CipBudget(Exception):
     pass
 
 
-def _cip_key(mol: Molecule, prev: int, cur: int, mask: List[bool], counter):
+def _cip_key(mol: Molecule, prev: int, cur: int, mask: List[bool], counter,
+             depth: int = 0):
     """Canonical key of one branch of the CIP hierarchical digraph.
 
     The digraph follows CIP constitutional rules (rule 1a atomic number +
@@ -521,7 +528,7 @@ def _cip_key(mol: Molecule, prev: int, cur: int, mask: List[bool], counter):
     (pathological fused polycycles) — callers fall back to symmetry ranks.
     """
     counter[0] += 1
-    if counter[0] > _CIP_NODE_BUDGET:
+    if counter[0] > _CIP_NODE_BUDGET or depth > _CIP_MAX_DEPTH:
         raise _CipBudget()
     a = mol.atoms[cur]
     children = []
@@ -537,7 +544,7 @@ def _cip_key(mol: Molecule, prev: int, cur: int, mask: List[bool], counter):
             children.append(dup)
         else:
             mask[cur] = True
-            children.append(_cip_key(mol, cur, other, mask, counter))
+            children.append(_cip_key(mol, cur, other, mask, counter, depth + 1))
             mask[cur] = False
     children.sort(reverse=True)
     return (a.atomic_num, a.isotope, tuple(children))
@@ -555,9 +562,35 @@ def cip_neighbors_distinct(mol: Molecule, idx: int) -> Optional[bool]:
         keys = [
             _cip_key(mol, idx, j, mask, counter) for j in mol.neighbors(idx)
         ]
-    except _CipBudget:
+    except (_CipBudget, RecursionError):
         return None
     return len(set(keys)) == len(keys)
+
+
+def chiral_tag_is_stereogenic(mol: Molecule, idx: int,
+                              ranks_cache: Optional[list] = None) -> bool:
+    """AssignStereochemistry(cleanIt=True) analog (reference:
+    src/datasets/features.py:169-176 cleans bogus tags before
+    FindMolChiralCenters): an assigned @/@@ tag is kept only when the atom
+    has four neighbors whose CIP branches are pairwise constitutionally
+    distinct — [C@@]1(F)(Cl)CC1-style tags on non-stereogenic atoms are
+    dropped by the writer and emit no tet_nbrs row.  Digraph-budget
+    overflow falls back to the symmetry-rank approximation.  Mirrored in
+    native/featurizer.cpp::chiral_tag_is_stereogenic.
+
+    ``ranks_cache`` is an optional 1-element list caching symmetry_ranks
+    across calls on the same molecule."""
+    nbrs = mol.neighbors(idx)
+    if len(nbrs) != 4:
+        return False
+    distinct = cip_neighbors_distinct(mol, idx)
+    if distinct is None:
+        if ranks_cache is None:
+            ranks_cache = [None]
+        if ranks_cache[0] is None:
+            ranks_cache[0] = symmetry_ranks(mol)
+        distinct = len({ranks_cache[0][j] for j in nbrs}) == 4
+    return distinct
 
 
 def canonical_ranks(mol: Molecule) -> List[int]:
@@ -655,16 +688,20 @@ def _perm_parity_even(src: List[int], dst: List[int]) -> bool:
     return inv % 2 == 0
 
 
-def _atom_str(mol: Molecule, u: int, out_order: List[int]) -> str:
+def _atom_str(mol: Molecule, u: int, out_order: List[int],
+              keep_chiral=None) -> str:
     """Bracket-atom text (allHsExplicit semantics: every atom bracketed,
-    like the reference's ``MolToSmiles(..., allHsExplicit=True)``)."""
+    like the reference's ``MolToSmiles(..., allHsExplicit=True)``).
+
+    ``keep_chiral``: set of atoms whose @/@@ tag survived the cleanIt
+    analog (:func:`chiral_tag_is_stereogenic`); None keeps all tags."""
     a = mol.atoms[u]
     sym = a.symbol.lower() if a.aromatic else a.symbol
     s = "["
     if a.isotope:
         s += str(a.isotope)
     s += sym
-    if a.chiral:
+    if a.chiral and (keep_chiral is None or u in keep_chiral):
         ref = mol.sorder[u]
         if len(ref) == 4 and len(out_order) == 4 and set(ref) == set(out_order):
             tag = a.chiral if _perm_parity_even(ref, out_order) else 3 - a.chiral
@@ -741,6 +778,26 @@ def write_canonical_smiles(mol: Molecule) -> str:
     n = mol.num_atoms()
     ranks = canonical_ranks(mol)
     dir_sys = _directional_systems(mol)
+    # cleanIt analog: tags on non-stereogenic atoms are not emitted, so
+    # [C@@]1(F)(Cl)CC1 and its tag-free writing canonicalize identically.
+    ranks_cache = [None]
+    keep_chiral = {
+        i
+        for i, a in enumerate(mol.atoms)
+        if a.chiral and chiral_tag_is_stereogenic(mol, i, ranks_cache)
+    }
+    # DFS discovery/emission recurse once per atom; lift Python's default
+    # 1000-frame limit for big molecules (restored below).
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 4 * n + 1000))
+    try:
+        return _write_canonical_smiles(mol, ranks, dir_sys, keep_chiral)
+    finally:
+        sys.setrecursionlimit(old_limit)
+
+
+def _write_canonical_smiles(mol, ranks, dir_sys, keep_chiral) -> str:
+    n = mol.num_atoms()
     seen = [False] * n
     roots = []
     for start in sorted(range(n), key=lambda i: ranks[i]):
@@ -755,10 +812,14 @@ def write_canonical_smiles(mol: Molecule) -> str:
                 if not seen[v]:
                     seen[v] = True
                     stack.append(v)
-    return ".".join(_write_fragment(mol, ranks, root, dir_sys) for root in roots)
+    return ".".join(
+        _write_fragment(mol, ranks, root, dir_sys, keep_chiral)
+        for root in roots
+    )
 
 
-def _write_fragment(mol: Molecule, ranks: List[int], root: int, dir_sys) -> str:
+def _write_fragment(mol: Molecule, ranks: List[int], root: int, dir_sys,
+                    keep_chiral=None) -> str:
     # Pass 1: DFS discovery — children in canonical-rank order; edges to
     # already-visited atoms become ring closures (digit printed at BOTH
     # endpoints; bond char at the closing side).
@@ -821,7 +882,7 @@ def _write_fragment(mol: Molecule, ranks: List[int], root: int, dir_sys) -> str:
         order += [mol.bonds[bi].other(u) for bi in ring_open.get(u, [])]
         order += [mol.bonds[bi].other(u) for bi in ring_close.get(u, [])]
         order += [v for v, _ in children[u]]
-        out.append(_atom_str(mol, u, order))
+        out.append(_atom_str(mol, u, order, keep_chiral))
         for bi in ring_open.get(u, []):
             digit_of[bi] = take_digit()
             out.append(digit_str(digit_of[bi]))

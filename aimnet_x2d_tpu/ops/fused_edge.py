@@ -229,7 +229,7 @@ def _run(x: jax.Array, layout: FusedEdgeLayout, exact: bool, interpret: bool):
         in_specs=[
             pl.BlockSpec((1, 1, C * chunk), lambda w, base: (w, 0, 0)),
             pl.BlockSpec((1, 1, C * chunk), lambda w, base: (w, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays off-chip; manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays off-chip; manual DMA
         ],
         out_specs=pl.BlockSpec((window, Dp), lambda w, base: (w, 0)),
         scratch_shapes=[

@@ -109,6 +109,23 @@ def _parallel_from_args(args):
     return n_data, n_graph, mesh
 
 
+def _print_param_counts(params, tc) -> None:
+    """Parameter counts, trainable vs total under freeze masks (the
+    reference prints both: src/utils/optimization.py:126-148)."""
+    from .utils.optimization import count_parameters, freeze_mask
+
+    mask = None
+    if tc.unfreeze_patterns:
+        mask = freeze_mask(params, tc.unfreeze_patterns, freeze=False)
+    elif tc.freeze_patterns:
+        mask = freeze_mask(params, tc.freeze_patterns, freeze=True)
+    c = count_parameters(params, mask)
+    print(
+        f"[model] {c['total_parameters']:,} parameters "
+        f"({c['trainable_parameters']:,} trainable)"
+    )
+
+
 def _make_halo_train_step(model, tc, params, mesh):
     from .parallel.graph_parallel import make_graph_parallel_train_step
     from .training.trainer import make_optimizer
@@ -222,6 +239,7 @@ def _run_training_streaming(args: argparse.Namespace) -> Dict[str, Any]:
         params, _, _ = transfer_params(art.params, params)
 
     tc = train_config_from_args(args)
+    _print_param_counts(params, tc)
     train_step = (
         _make_halo_train_step(model, tc, params, mesh) if n_graph > 1 else None
     )
@@ -318,6 +336,7 @@ def _run_training(args: argparse.Namespace) -> Dict[str, Any]:
         params, _, _ = transfer_params(art.params, params)
 
     tc = train_config_from_args(args)
+    _print_param_counts(params, tc)
     train_step = (
         _make_halo_train_step(model, tc, params, mesh) if n_graph > 1 else None
     )

@@ -240,6 +240,21 @@ def prefetch_batches(loader, sharding=None, size: int = 2):
     import queue
     import threading
 
+    from ..data.native_batch import SCRATCH_SETS
+
+    # In-flight batches alias loader scratch buffers: 1 being-built +
+    # `size` collate-queued + 1 in-transfer + `size` device-queued + 1
+    # in-step.  A deeper pipeline than the loaders' scratch rotation
+    # silently reintroduces the round-4 buffer-overwrite corruption, so
+    # fail loudly instead (ADVICE r4).
+    if 2 * size + 3 > SCRATCH_SETS:
+        raise ValueError(
+            f"prefetch size={size} can hold {2 * size + 3} batches in "
+            f"flight but loaders rotate only {SCRATCH_SETS} scratch sets "
+            "(aimnet_x2d_tpu/data/native_batch.py::SCRATCH_SETS) — raise "
+            "SCRATCH_SETS or lower the prefetch size"
+        )
+
     q_host: "queue.Queue" = queue.Queue(maxsize=size)
     q_dev: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()

@@ -38,7 +38,23 @@ def apply_mask(updates, mask):
     return jax.tree_util.tree_map(lambda u, m: u * m, updates, mask)
 
 
-def count_parameters(params) -> Dict[str, int]:
+def count_parameters(params, mask=None) -> Dict[str, int]:
+    """Total vs trainable parameter counts (reference:
+    src/utils/optimization.py:126-148 distinguishes them via
+    requires_grad).  ``mask`` is a :func:`freeze_mask` pytree; frozen
+    leaves (mask 0) count as non-trainable.  Without a mask everything is
+    trainable."""
     leaves = jax.tree_util.tree_leaves(params)
     total = int(sum(np.size(x) for x in leaves))
-    return {"total_parameters": total, "trainable_parameters": total}
+    if mask is None:
+        trainable = total
+    else:
+        trainable = int(
+            sum(
+                np.size(x) if float(m) else 0
+                for x, m in zip(
+                    leaves, jax.tree_util.tree_leaves(mask), strict=True
+                )
+            )
+        )
+    return {"total_parameters": total, "trainable_parameters": trainable}

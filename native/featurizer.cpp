@@ -548,14 +548,20 @@ bool perm_parity_even(const std::vector<int>& src, const std::vector<int>& dst) 
   return inv % 2 == 0;
 }
 
-std::string atom_str(const Mol& mol, int u, const std::vector<int>& out_order) {
+bool chiral_tag_is_stereogenic(const Mol& mol, int idx,
+                               std::vector<int>* ranks_cache);  // below
+
+// keep_chiral: per-atom flags from the cleanIt analog (null keeps all
+// tags) — twin of chem/smiles.py::_atom_str.
+std::string atom_str(const Mol& mol, int u, const std::vector<int>& out_order,
+                     const std::vector<uint8_t>* keep_chiral = nullptr) {
   const Atom& a = mol.atoms[u];
   std::string sym = ELEMENTS[a.z - 1];
   if (a.aromatic) for (auto& c : sym) c = (char)tolower(c);
   std::string s = "[";
   if (a.isotope) s += std::to_string(a.isotope);
   s += sym;
-  if (a.chiral) {
+  if (a.chiral && (!keep_chiral || (*keep_chiral)[u])) {
     const std::vector<int>& ref = mol.sorder[u];
     std::vector<int> rs = ref, os = out_order;
     std::sort(rs.begin(), rs.end());
@@ -619,6 +625,7 @@ struct FragWriter {
   const Mol& mol;
   const std::vector<int>& ranks;
   DirSystems& dsys;
+  const std::vector<uint8_t>* keep_chiral = nullptr;
   std::map<int, std::vector<std::pair<int,int>>> children;  // u -> (v, bond)
   std::map<int, std::vector<int>> ring_open, ring_close;
   std::set<int> visited, done_bonds;
@@ -687,7 +694,7 @@ struct FragWriter {
     for (int bi : ring_open[u]) order.push_back(mol.bonds[bi].other(u));
     for (int bi : ring_close[u]) order.push_back(mol.bonds[bi].other(u));
     for (auto& [v, bi] : children[u]) order.push_back(v);
-    out.push_back({atom_str(mol, u, order)});
+    out.push_back({atom_str(mol, u, order, keep_chiral)});
     for (int bi : ring_open[u]) {
       digit_of[bi] = take_digit();
       out.push_back({digit_str(digit_of[bi])});
@@ -728,6 +735,16 @@ std::string write_canonical_smiles(const Mol& mol) {
   size_t n = mol.atoms.size();
   std::vector<int> ranks = canonical_ranks(mol);
   DirSystems dsys = directional_systems(mol);
+  // cleanIt analog: drop tags on non-stereogenic atoms (twin of
+  // chem/smiles.py::write_canonical_smiles).
+  std::vector<uint8_t> keep_chiral(n, 0);
+  {
+    std::vector<int> ranks_cache;
+    for (size_t i = 0; i < n; ++i)
+      if (mol.atoms[i].chiral &&
+          chiral_tag_is_stereogenic(mol, (int)i, &ranks_cache))
+        keep_chiral[i] = 1;
+  }
   std::vector<char> seen(n, 0);
   std::vector<size_t> by_rank(n);
   for (size_t i = 0; i < n; ++i) by_rank[i] = i;
@@ -745,6 +762,7 @@ std::string write_canonical_smiles(const Mol& mol) {
         if (!seen[v]) { seen[v] = 1; stack.push_back(v); }
     }
     FragWriter fw(mol, ranks, dsys);
+    fw.keep_chiral = &keep_chiral;
     fw.discover((int)start);
     fw.emit((int)start, -1);
     if (!first) result += ".";
@@ -866,26 +884,44 @@ void double_bond_stereo(const Mol& mol, Features* out) {
 // CIP hierarchical-digraph branch key (mirrors chem/smiles.py::_cip_key):
 // phantom duplicate leaves at multiple bonds, duplicate leaves at ring
 // closures, siblings order-canonicalized by sorting.  Serialized to a
-// string so equality/sort are byte-wise; the exact encoding differs from
-// the Python tuple form but induces the same equality partition, which is
-// all the pairwise-distinct test consumes.  Returns false past the node
-// budget (caller falls back to symmetry ranks, like Python).
+// LENGTH-PREFIXED string (4-byte LE subtree size + z + iso16 + children)
+// so the encoding is provably injective for every Z/isotope value — a
+// plain delimiter scheme would collide with payload bytes 0x28/0x29
+// (Z=40/41 Zr/Nb; ADVICE r4).  Any deterministic total order on the
+// serializations canonicalizes siblings, so equality induces the same
+// partition as the Python tuple form, which is all the pairwise-distinct
+// test consumes.  Returns false past the node budget or the depth bound
+// (both shared with the Python twin — callers fall back to symmetry
+// ranks deterministically in both languages instead of Python raising
+// RecursionError while C++ eats native stack).
 constexpr int kCipNodeBudget = 65536;
+constexpr int kCipMaxDepth = 512;  // == chem/smiles.py::_CIP_MAX_DEPTH
+
+void cip_wrap(std::string* out, const std::string& body) {
+  uint32_t len = (uint32_t)body.size();
+  out->push_back((char)(len & 0xff));
+  out->push_back((char)((len >> 8) & 0xff));
+  out->push_back((char)((len >> 16) & 0xff));
+  out->push_back((char)((len >> 24) & 0xff));
+  out->append(body);
+}
 
 bool cip_key(const Mol& mol, int prev, int cur, std::vector<uint8_t>& mask,
-             int& budget, std::string* out) {
-  if (++budget > kCipNodeBudget) return false;
+             int& budget, std::string* out, int depth = 0) {
+  if (++budget > kCipNodeBudget || depth > kCipMaxDepth) return false;
   const Atom& a = mol.atoms[cur];
   std::vector<std::string> children;
   for (int bi : mol.adj[cur]) {
     const Bond& b = mol.bonds[bi];
     int other = b.other(cur);
     std::string dup;
-    dup.push_back('(');
-    dup.push_back((char)mol.atoms[other].z);
-    dup.push_back((char)0);
-    dup.push_back((char)0);
-    dup.push_back(')');
+    {
+      std::string dup_body;
+      dup_body.push_back((char)mol.atoms[other].z);
+      dup_body.push_back((char)0);
+      dup_body.push_back((char)0);
+      cip_wrap(&dup, dup_body);
+    }
     for (int k = 1; k < b.order; ++k) children.push_back(dup);
     if (other == prev) continue;
     if (mask[other]) {
@@ -893,19 +929,19 @@ bool cip_key(const Mol& mol, int prev, int cur, std::vector<uint8_t>& mask,
     } else {
       mask[cur] = 1;
       std::string sub;
-      bool ok = cip_key(mol, cur, other, mask, budget, &sub);
+      bool ok = cip_key(mol, cur, other, mask, budget, &sub, depth + 1);
       mask[cur] = 0;
       if (!ok) return false;
       children.push_back(std::move(sub));
     }
   }
   std::sort(children.begin(), children.end(), std::greater<std::string>());
-  out->push_back('(');
-  out->push_back((char)a.z);
-  out->push_back((char)(a.isotope & 0xff));
-  out->push_back((char)((a.isotope >> 8) & 0xff));
-  for (auto& c : children) out->append(c);
-  out->push_back(')');
+  std::string body;
+  body.push_back((char)a.z);
+  body.push_back((char)(a.isotope & 0xff));
+  body.push_back((char)((a.isotope >> 8) & 0xff));
+  for (auto& c : children) body.append(c);
+  cip_wrap(out, body);
   return true;
 }
 
@@ -925,24 +961,43 @@ bool cip_neighbors_distinct(const Mol& mol, int idx,
   return true;
 }
 
+// AssignStereochemistry(cleanIt=True) analog (reference cleans bogus
+// tags before FindMolChiralCenters; src/datasets/features.py:169-176):
+// an assigned @/@@ tag survives only with four pairwise-distinct CIP
+// branches.  Twin of chem/smiles.py::chiral_tag_is_stereogenic.
+bool chiral_tag_is_stereogenic(const Mol& mol, int idx,
+                               std::vector<int>* ranks_cache) {
+  std::vector<int> nbrs = mol.neighbors(idx);
+  if (nbrs.size() != 4) return false;
+  bool distinct = false;
+  if (!cip_neighbors_distinct(mol, idx, nbrs, &distinct)) {
+    if (ranks_cache->empty()) *ranks_cache = symmetry_ranks(mol);
+    std::vector<int> rs;
+    for (int nb : nbrs) rs.push_back((*ranks_cache)[nb]);
+    std::sort(rs.begin(), rs.end());
+    distinct = std::unique(rs.begin(), rs.end()) == rs.end();
+  }
+  return distinct;
+}
+
 void chiral_centers(const Mol& mol, Features* out) {
+  // Assigned tags get the cleanIt analog, so assigned and unassigned
+  // atoms pass the SAME distinct-branches test (chem/featurize.py twin).
   std::vector<int> ranks;  // symmetry-rank fallback, computed lazily
   for (size_t i = 0; i < mol.atoms.size(); ++i) {
     if (mol.atoms[i].is_h) continue;
     std::vector<int> nbrs = mol.neighbors((int)i);
+    if (nbrs.size() != 4) continue;
     bool center = false;
-    if (mol.atoms[i].chiral) center = true;
-    else if (nbrs.size() == 4) {
-      if (!cip_neighbors_distinct(mol, (int)i, nbrs, &center)) {
-        // digraph budget overflow -> global symmetry-rank approximation
-        if (ranks.empty()) ranks = symmetry_ranks(mol);
-        std::vector<int> rs;
-        for (int nb : nbrs) rs.push_back(ranks[nb]);
-        std::sort(rs.begin(), rs.end());
-        center = std::unique(rs.begin(), rs.end()) == rs.end();
-      }
+    if (!cip_neighbors_distinct(mol, (int)i, nbrs, &center)) {
+      // digraph budget overflow -> global symmetry-rank approximation
+      if (ranks.empty()) ranks = symmetry_ranks(mol);
+      std::vector<int> rs;
+      for (int nb : nbrs) rs.push_back(ranks[nb]);
+      std::sort(rs.begin(), rs.end());
+      center = std::unique(rs.begin(), rs.end()) == rs.end();
     }
-    if (center && nbrs.size() == 4)
+    if (center)
       for (int nb : nbrs) out->tet.push_back(nb);
   }
 }

@@ -146,6 +146,65 @@ def test_cip_pseudoasymmetry_not_flagged():
     assert compute_features("CC(O)C(O)C(O)C", 3).tet_nbrs.shape[0] == 2
 
 
+class TestCleanItAnalog:
+    """AssignStereochemistry(cleanIt=True) analog (ADVICE r4): bogus @/@@
+    tags on non-stereogenic atoms are dropped before both the writer and
+    stereocenter detection (reference: src/datasets/features.py:169-176)."""
+
+    def test_bogus_tag_writings_canonicalize_identically(self):
+        forms = {
+            canon("[C@@]1(F)(Cl)CC1"),
+            canon("Cl[C@@](F)1CC1"),
+            canon("[C@]1(F)(Cl)CC1"),
+            canon("C1(F)(Cl)CC1"),  # tag-free writing of the same compound
+        }
+        assert len(forms) == 1, forms
+
+    def test_bogus_tag_emits_no_tet_row(self):
+        # 1-chloro-1-fluorocyclopropane: the two ring branches are
+        # constitutionally identical -> not a stereocenter
+        assert compute_features("[C@@]1(F)(Cl)CC1", 3).tet_nbrs.shape[0] == 0
+
+    def test_genuine_tag_survives_cleaning(self):
+        a = canon("N[C@@H](C)C(=O)O")
+        b = canon("N[C@H](C)C(=O)O")
+        assert a != b
+        assert "@" in a and "@" in b
+        assert compute_features("N[C@@H](C)C(=O)O", 3).tet_nbrs.shape[0] == 1
+
+    def test_native_twin_matches(self):
+        native = pytest.importorskip("aimnet_x2d_tpu.chem.native")
+        if not native.native_available():
+            pytest.skip("native featurizer not built")
+        for s in ["[C@@]1(F)(Cl)CC1", "Cl[C@@](F)1CC1", "C1(F)(Cl)CC1",
+                  "N[C@@H](C)C(=O)O", "F[C@@]1(C)CC[C@H](Cl)CC1"]:
+            py = compute_features(s, 3)
+            na = native.compute_features_native(s, 3)
+            assert py.smiles == na.smiles, s
+            np.testing.assert_array_equal(py.tet_nbrs, na.tet_nbrs)
+
+
+def test_cip_deep_chain_falls_back_not_crashes():
+    # ~1200-atom alkane chain: the CIP digraph would recurse past Python's
+    # default recursion limit — the shared depth bound (_CIP_MAX_DEPTH)
+    # must route BOTH twins to the symmetry-rank fallback deterministically
+    # instead of RecursionError / native stack overflow (ADVICE r4).
+    s = "C" * 1200
+    f = compute_features(s, 1)
+    assert f is not None and f.num_atoms == 1200 + 2 * 1200 + 2
+    c = canon(s)
+    assert c.count("[C") == 1200
+    native = None
+    try:
+        from aimnet_x2d_tpu.chem import native
+    except ImportError:
+        pass
+    if native is not None and native.native_available():
+        na = native.compute_features_native(s, 1)
+        assert na.smiles == f.smiles
+        np.testing.assert_array_equal(f.tet_nbrs, na.tet_nbrs)
+
+
 def test_cip_native_matches_python():
     native = pytest.importorskip("aimnet_x2d_tpu.chem.native")
     if not native.native_available():
