@@ -95,6 +95,34 @@ def plan_bins(mol_sizes: np.ndarray, ab: int, mb: int):
     return bin_of, local, start, b + 1
 
 
+def plan_bin_counts(mol_sizes: np.ndarray, ab: int, mb: int):
+    """(num_bins, max_mols_in_one_bin) of :func:`plan_bins`'s greedy
+    packing without materializing the per-molecule plan — O(bins · log B)
+    instead of a Python loop over molecules, so loaders can cheaply
+    pre-plan many epochs of batches to seed their bin pins
+    (equivalence test: tests/test_binning.py).  ``mb`` is the (already
+    adaptive) molecule cap, as passed to plan_bins."""
+    sizes = np.asarray(mol_sizes, np.int64)
+    B = sizes.shape[0]
+    if B == 0:
+        return 1, 1
+    if sizes.max() > ab:
+        raise BinningError(
+            f"molecule of {int(sizes.max())} atoms exceeds bin size {ab}"
+        )
+    cs = np.concatenate([[0], np.cumsum(sizes)])
+    i, nb, mx = 0, 0, 0
+    while i < B:
+        j = int(np.searchsorted(cs, cs[i] + ab, side="right")) - 1
+        j = min(j, i + mb)
+        if j <= i:  # can't happen (sizes <= ab), defensive
+            j = i + 1
+        mx = max(mx, j - i)
+        nb += 1
+        i = j
+    return nb, mx
+
+
 def grow_bins(
     batch: MolBatch, target_bins: int, target_mb: "int | None" = None
 ) -> MolBatch:

@@ -340,7 +340,7 @@ class BatchLoader:
         for epoch 0; call sites are the inference/eval paths.)"""
         if not self.binned:
             return
-        from .binning import plan_bins
+        from .binning import adaptive_mb_cap, plan_bin_counts
 
         cache = self.dataset.columnar
         if cache is not None:
@@ -360,11 +360,15 @@ class BatchLoader:
                 else [idx]
             )
             for sub in subs:
-                _, local, _, nb = plan_bins(sizes_all[sub], self.bin_ab, self.bin_mb)
+                sizes = sizes_all[sub]
+                # same adaptive cap the packer applies (bin_pack_batch /
+                # native builder) — planning with the uncapped mb could
+                # under-count bins and re-trigger the pin-growth recompile
+                # this warm-up exists to prevent
+                cap = adaptive_mb_cap(sizes, self.bin_ab, self.bin_mb)
+                nb, mbeff = plan_bin_counts(sizes, self.bin_ab, cap)
                 bins = max(bins, bucket_size(nb, align=8))
-                mb = max(
-                    mb, bucket_size(int(local.max()) + 1 if local.size else 1, align=8)
-                )
+                mb = max(mb, bucket_size(mbeff, align=8))
         self._bin_pins["bins"] = bins
         self._bin_pins["mb"] = mb
 

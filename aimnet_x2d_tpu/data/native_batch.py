@@ -323,6 +323,10 @@ def _gather_ragged(values, offsets, indices, starts):
 # them.  The two-stage prefetch (training/trainer.py::prefetch_batches,
 # size=2) can hold 1 being-built + 2 collate-queued + 1 in-transfer +
 # 2 device-queued + 1 in-step = 7 batches in flight; 8 adds a margin.
+# This constant is the SERIAL-loader contract (prefetch_batches asserts
+# 2·size+3 <= SCRATCH_SETS); the threaded streaming loader
+# (hdf5.py::_iter_native) holds up to workers+1 extra batches in flight
+# and allocates SCRATCH_SETS + workers + 2 sets accordingly.
 # ROUND-4 ROOT CAUSE: the round-3 prefetch split collate and device_put
 # into separate threads while loaders rotated only TWO sets, so queued
 # batches were silently overwritten by later ones before transfer —
@@ -344,6 +348,7 @@ def build_binned_batch(
     pair_slots: int,
     pins: Optional[dict] = None,
     scratch: Optional[dict] = None,
+    pins_lock=None,
 ) -> MolBatch:
     """Device-ready binned MolBatch for ``indices`` (native fast path).
 
@@ -387,10 +392,17 @@ def build_binned_batch(
     nbins_p = bucket_size(int(nbins[0]), align=8)
     mb = bucket_size(int(mb_eff[0]), align=8)
     if pins is not None:
-        nbins_p = max(nbins_p, pins.get("bins", 0))
-        pins["bins"] = nbins_p
-        mb = max(mb, pins.get("mb", 0))
-        pins["mb"] = mb
+        # pins_lock linearizes the read-modify-write when a threaded
+        # loader builds batches concurrently (hdf5.py::_iter_native) —
+        # without it two racing builds could leave the pin BELOW an
+        # already-built batch's shape
+        import contextlib
+
+        with pins_lock if pins_lock is not None else contextlib.nullcontext():
+            nbins_p = max(nbins_p, pins.get("bins", 0))
+            pins["bins"] = nbins_p
+            mb = max(mb, pins.get("mb", 0))
+            pins["mb"] = mb
     A2 = nbins_p * ab
     B2 = nbins_p * mb
 

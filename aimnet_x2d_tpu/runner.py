@@ -223,6 +223,11 @@ def _run_training_streaming(args: argparse.Namespace) -> Dict[str, Any]:
     )
     val_loader = HDF5BatchLoader(val_h5, args.batch_size * max(1, n_dev))
     test_loader = HDF5BatchLoader(test_h5, args.batch_size * max(1, n_dev))
+    # exact pin preseeding from dataset-wide metadata: mid-run bin-pin
+    # growth costs a minutes-long remote recompile per growth event
+    train_loader.warm_bin_pins(epochs=args.epochs)
+    val_loader.warm_bin_pins()
+    test_loader.warm_bin_pins()
 
     cfg = gnn_config_from_args(args, num_tasks)
     model = GNN(cfg)

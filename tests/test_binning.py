@@ -237,3 +237,20 @@ def test_slim_binned_edges_model_equality(rng, monkeypatch):
     hop_model = GNN(dc.replace(cfg, parity_mode=False))
     with pytest.raises(ValueError, match="slim"):
         hop_model.init(jax.random.PRNGKey(0), slim)
+
+
+def test_plan_bin_counts_matches_plan_bins():
+    """plan_bin_counts is the O(bins·log B) twin of plan_bins — identical
+    (num_bins, worst-bin molecule count) on fuzzed size mixes."""
+    from aimnet_x2d_tpu.data.binning import plan_bin_counts
+
+    rng = np.random.default_rng(0)
+    for trial in range(50):
+        n = int(rng.integers(0, 400))
+        sizes = rng.integers(1, 65, size=n)
+        ab = int(rng.integers(64, 257))
+        mb = int(rng.integers(1, 49))
+        _, local, _, nb = plan_bins(sizes, ab=ab, mb=mb)
+        nb2, mx2 = plan_bin_counts(sizes, ab, mb)
+        assert nb2 == nb
+        assert mx2 == (int(local.max()) + 1 if local.size else 1)

@@ -189,3 +189,27 @@ def test_native_binned_loader_matches_flat(tmp_path, mem_ds):
         np.testing.assert_allclose(ta, tb, rtol=1e-6)
         assert int(np.asarray(b.bin_adj).sum()) == int(np.asarray(a.edge_mask).sum())
     h5.close()
+
+
+def test_hdf5_warm_bin_pins_exact(tmp_path, mem_ds):
+    """Streaming-TRAINING pin preseeding (VERDICT r4 #4): warm_bin_pins
+    replays the loader's own shuffle schedule from HDF5 metadata, so no
+    pin growth — i.e. no mid-run remote recompile — can occur over the
+    simulated epochs, and every batch carries one static (bins, mb)."""
+    path = str(tmp_path / "warm.h5")
+    write_hdf5_streaming(path, mem_ds.smiles, mem_ds.targets, 3)
+    h5 = HDF5MoleculeDataset(path)
+    loader = HDF5BatchLoader(
+        h5, batch_size=8, shuffle=True, seed=11, block_batches=2, binned=True
+    )
+    loader.warm_bin_pins(epochs=3)
+    seeded = dict(loader._bin_pins)
+    assert seeded.get("bins", 0) > 0
+    shapes = set()
+    for ep in range(3):
+        loader.set_epoch(ep)
+        for b in loader:
+            shapes.add((b.bin_adj.shape[0], b.pool_mat.shape[1]))
+    assert loader._bin_pins == seeded, "pins grew despite exact preseeding"
+    assert shapes == {(seeded["bins"], seeded["mb"])}
+    h5.close()
