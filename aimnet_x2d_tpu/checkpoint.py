@@ -146,34 +146,56 @@ class TrainCheckpointer:
             options=ocp.CheckpointManagerOptions(max_to_keep=keep, create=True),
         )
 
-    def save(self, epoch: int, params, opt_state, aux: Optional[Dict] = None) -> None:
+    def save(
+        self,
+        epoch: int,
+        params,
+        opt_state,
+        aux: Optional[Dict] = None,
+        best_params=None,
+    ) -> None:
         """``aux`` carries host-side training state (LR, scheduler counters,
-        best-val tracking) so resume reproduces the uninterrupted run."""
-        self.manager.save(
-            epoch,
-            args=self._ocp.args.Composite(
-                params=self._ocp.args.StandardSave(params),
-                opt_state=self._ocp.args.StandardSave(opt_state),
-                aux=self._ocp.args.JsonSave(aux or {}),
-            ),
+        best-val tracking) and ``best_params`` the best-so-far weights —
+        without them a run resumed AFTER its best epoch would return the
+        wrong final weights when no later epoch improves (round 5)."""
+        items = dict(
+            params=self._ocp.args.StandardSave(params),
+            opt_state=self._ocp.args.StandardSave(opt_state),
+            aux=self._ocp.args.JsonSave(aux or {}),
         )
+        if best_params is not None:
+            items["best_params"] = self._ocp.args.StandardSave(best_params)
+        self.manager.save(epoch, args=self._ocp.args.Composite(**items))
 
     def latest_epoch(self) -> Optional[int]:
         return self.manager.latest_step()
 
     def restore(self, params_template, opt_state_template):
+        """Returns (epoch+?, params, opt_state, aux, best_params|None);
+        best_params is None for pre-round-5 checkpoints (no item saved)."""
         step = self.manager.latest_step()
         if step is None:
             return None
-        restored = self.manager.restore(
-            step,
-            args=self._ocp.args.Composite(
-                params=self._ocp.args.StandardRestore(params_template),
-                opt_state=self._ocp.args.StandardRestore(opt_state_template),
-                aux=self._ocp.args.JsonRestore(),
-            ),
+        items = dict(
+            params=self._ocp.args.StandardRestore(params_template),
+            opt_state=self._ocp.args.StandardRestore(opt_state_template),
+            aux=self._ocp.args.JsonRestore(),
         )
-        return step, restored["params"], restored["opt_state"], restored.get("aux") or {}
+        try:
+            meta = self.manager.item_metadata(step)
+            has_best = meta is not None and "best_params" in meta
+        except Exception:
+            has_best = False
+        if has_best:
+            items["best_params"] = self._ocp.args.StandardRestore(params_template)
+        restored = self.manager.restore(step, args=self._ocp.args.Composite(**items))
+        return (
+            step,
+            restored["params"],
+            restored["opt_state"],
+            restored.get("aux") or {},
+            restored.get("best_params") if has_best else None,
+        )
 
     def close(self):
         self.manager.close()

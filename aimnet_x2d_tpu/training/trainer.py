@@ -352,10 +352,11 @@ def train(
 
     start_epoch = 0
     restored_aux: Dict[str, float] = {}
+    restored_best = None
     if checkpointer is not None:
         restored = checkpointer.restore(params, opt_state)
         if restored is not None:
-            start_epoch, params, opt_state, restored_aux = restored
+            start_epoch, params, opt_state, restored_aux, restored_best = restored
             start_epoch += 1
             if verbose:
                 print(f"[resume] restored checkpoint at epoch {start_epoch - 1}")
@@ -374,8 +375,12 @@ def train(
     best_val = float("inf")
     best_epoch = -1
     # copy: the jitted step donates its params input, which would otherwise
-    # invalidate this alias if validation never improves
-    best_params = jax.tree_util.tree_map(jnp.copy, params)
+    # invalidate this alias if validation never improves.  On resume the
+    # checkpointed best-so-far weights take over (a run resumed after its
+    # best epoch must not lose them).
+    best_params = jax.tree_util.tree_map(
+        jnp.copy, params if restored_best is None else restored_best
+    )
     epochs_no_improve = 0
     history: List[Dict[str, float]] = []
     lr = config.learning_rate
@@ -469,7 +474,7 @@ def train(
                 "epochs_no_improve": float(epochs_no_improve),
                 **{f"sched_{k}": v for k, v in scheduler.state_dict().items()},
             }
-            checkpointer.save(epoch, params, opt_state, aux)
+            checkpointer.save(epoch, params, opt_state, aux, best_params=best_params)
 
         if (
             config.early_stopping

@@ -56,7 +56,8 @@ def test_checkpoint_resume(tmp_path):
     assert ck.latest_epoch() == 1
     restored = ck.restore(params, opt_state)
     assert restored is not None
-    epoch, p, s, aux = restored
+    epoch, p, s, aux, best = restored
+    assert best is None  # no best_params item saved
     assert epoch == 1
     np.testing.assert_allclose(np.asarray(p["w"]), np.arange(4.0) * 2)
     ck.close()
@@ -70,7 +71,7 @@ def test_checkpoint_aux_roundtrip(tmp_path):
     ck = TrainCheckpointer(str(tmp_path / "ck2"))
     ck.save(0, params, opt_state, aux={"lr": 1e-4, "best_val": 0.5, "sched_num_bad": 3.0})
     ck.manager.wait_until_finished()
-    _, _, _, aux = ck.restore(params, opt_state)
+    _, _, _, aux, _ = ck.restore(params, opt_state)
     assert aux["lr"] == 1e-4 and aux["best_val"] == 0.5 and aux["sched_num_bad"] == 3.0
     ck.close()
 
