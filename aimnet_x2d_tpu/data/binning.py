@@ -186,12 +186,34 @@ def grow_bins(
     )
 
 
+def plan_bins_sorted(mol_sizes: np.ndarray, ab: int, mb: int):
+    """:func:`plan_bins` on the size-DESCENDING order, results mapped back
+    to input molecule positions.  First-fit-decreasing-style packing fills
+    bins tighter than arrival order (real QM9's size spread packed ~10%
+    worse than the synthetic mix — BASELINE.md round-4 real-QM9 row);
+    batch semantics are unchanged (a batch is a SET of molecules — losses
+    and pooling are per-molecule).  Used by TRAINING paths only: eval /
+    inference keep arrival order so outputs stay positionally aligned
+    with input rows."""
+    sizes = np.asarray(mol_sizes)
+    perm = np.argsort(-sizes, kind="stable")
+    b_s, l_s, s_s, nbins = plan_bins(sizes[perm], ab, mb)
+    bin_of = np.empty_like(b_s)
+    local = np.empty_like(l_s)
+    start = np.empty_like(s_s)
+    bin_of[perm] = b_s
+    local[perm] = l_s
+    start[perm] = s_s
+    return bin_of, local, start, nbins
+
+
 def bin_pack_batch(
     batch: MolBatch,
     *,
     ab: int = DEFAULT_AB,
     mb: int = DEFAULT_MB,
     pins: dict | None = None,
+    size_sort: bool = False,
 ) -> MolBatch:
     """Re-lay a collated batch into the binned layout and attach the dense
     per-bin aggregation/pooling matrices.
@@ -199,6 +221,8 @@ def bin_pack_batch(
     ``pins`` (mutated) carries {"bins": n} so loaders keep one static shape;
     the bin count is bucket-laddered.  Raises :class:`BinningError` when a
     molecule exceeds ``ab`` atoms (callers fall back to the flat layout).
+    ``size_sort`` packs molecules in size-descending order
+    (:func:`plan_bins_sorted` — training paths only).
     """
     amask = np.asarray(batch.atom_mask)
     amol = np.asarray(batch.atom_mol)
@@ -207,7 +231,23 @@ def bin_pack_batch(
     mol_sizes = np.bincount(amol[amask], minlength=B_real)
 
     mb = adaptive_mb_cap(mol_sizes, ab, mb)
-    bin_of, local, start, nbins = plan_bins(mol_sizes, ab, mb)
+    if size_sort:
+        perm = np.argsort(-mol_sizes, kind="stable")
+        b_s, l_s, s_s, nbins = plan_bins(mol_sizes[perm], ab, mb)
+        bin_of = np.empty_like(b_s)
+        local = np.empty_like(l_s)
+        start = np.empty_like(s_s)
+        bin_of[perm] = b_s
+        local[perm] = l_s
+        start[perm] = s_s
+        # packed-order rank of each molecule: the native builder emits
+        # edge/stereo rows in this order; mirror it below so the two
+        # builders stay bit-exact (tests/test_native_batch.py)
+        mol_rank = np.empty(B_real, np.int64)
+        mol_rank[perm] = np.arange(B_real)
+    else:
+        bin_of, local, start, nbins = plan_bins(mol_sizes, ab, mb)
+        mol_rank = None
 
     nbins_padded = bucket_size(nbins, align=8)
     # molecule-slot axis sized to the OBSERVED max molecules per bin (not
@@ -248,6 +288,25 @@ def bin_pack_batch(
     emask = np.asarray(batch.edge_mask)
     src2 = np.where(emask, old2new[np.asarray(batch.edge_src)], 0).astype(np.int32)
     dst2 = np.where(emask, old2new[np.asarray(batch.edge_dst)], A2).astype(np.int32)
+    edge_hop2 = np.asarray(batch.edge_hop)
+    emask2 = emask
+    if mol_rank is not None:
+        # regroup real edges into packed-molecule order (within-molecule
+        # order preserved by the stable sort) + contiguous padding tail —
+        # the layout the native builder emits
+        real = np.nonzero(emask)[0]
+        emol = amol[np.asarray(batch.edge_dst)[real]]
+        order = real[np.argsort(mol_rank[emol], kind="stable")]
+        E_slots = src2.shape[0]
+        ns = np.zeros(E_slots, np.int32)
+        nd = np.full(E_slots, A2, np.int32)
+        nh = np.zeros(E_slots, edge_hop2.dtype)
+        nm = np.zeros(E_slots, bool)
+        ns[: order.size] = src2[order]
+        nd[: order.size] = dst2[order]
+        nh[: order.size] = edge_hop2[order]
+        nm[: order.size] = True
+        src2, dst2, edge_hop2, emask2 = ns, nd, nh, nm
 
     # --- dense per-bin adjacency (multiplicity counts hop-duplicate edges,
     # preserving the union-over-hops Q1 semantics exactly) ---
@@ -277,6 +336,54 @@ def bin_pack_batch(
         ix = np.asarray(ix)
         return old2new[np.clip(ix, 0, A0)].astype(np.int32)
 
+    def _sorted_rows(rows, mask, width, blocks=1):
+        """Remapped stereo rows regrouped into packed-molecule order —
+        the layout the native builder's per-idx gather emits (cis/trans
+        keep their [originals ‖ reversed] two-block structure)."""
+        rows = np.asarray(rows)
+        mask = np.asarray(mask)
+        slots = rows.shape[0]
+        out = np.full((slots, width), A2, np.int32)
+        msk = np.zeros(slots, bool)
+        real = np.nonzero(mask)[0]
+        n = real.size
+        if n == 0:
+            return out, msk
+        per = n // blocks
+        pos = 0
+        for b in range(blocks):
+            blk = real[b * per : (b + 1) * per]
+            rmol = amol[np.clip(rows[blk, 0], 0, A0 - 1)]
+            order = blk[np.argsort(mol_rank[rmol], kind="stable")]
+            out[pos : pos + order.size] = old2new[
+                np.clip(rows[order], 0, A0)
+            ].astype(np.int32)
+            msk[pos : pos + order.size] = True
+            pos += order.size
+        return out, msk
+
+    if mol_rank is not None:
+        tet_nbrs2, tet_mask2 = _sorted_rows(batch.tet_nbrs, batch.tet_mask, 4)
+        cis2, cis_mask2 = _sorted_rows(
+            batch.cis_pairs, batch.cis_mask, 2, blocks=2
+        )
+        trans2, trans_mask2 = _sorted_rows(
+            batch.trans_pairs, batch.trans_mask, 2, blocks=2
+        )
+    else:
+        tet_nbrs2 = np.where(
+            np.asarray(batch.tet_mask)[:, None], _remap_idx(batch.tet_nbrs), A2
+        ).astype(np.int32)
+        tet_mask2 = np.asarray(batch.tet_mask)
+        cis2 = np.where(
+            np.asarray(batch.cis_mask)[:, None], _remap_idx(batch.cis_pairs), A2
+        ).astype(np.int32)
+        cis_mask2 = np.asarray(batch.cis_mask)
+        trans2 = np.where(
+            np.asarray(batch.trans_mask)[:, None], _remap_idx(batch.trans_pairs), A2
+        ).astype(np.int32)
+        trans_mask2 = np.asarray(batch.trans_mask)
+
     return dataclasses.replace(
         batch,
         atom_type=_scatter_atoms(np.asarray(batch.atom_type)),
@@ -287,21 +394,23 @@ def bin_pack_batch(
         atom_mask=atom_mask2,
         edge_src=src2,
         edge_dst=dst2,
+        edge_hop=edge_hop2,
+        edge_mask=emask2,
         total_charge=_scatter_mols(np.asarray(batch.total_charge)),
         targets=_scatter_mols(np.asarray(batch.targets)),
         graph_mask=graph_mask2,
-        tet_nbrs=np.where(
-            np.asarray(batch.tet_mask)[:, None], _remap_idx(batch.tet_nbrs), A2
-        ).astype(np.int32),
-        cis_pairs=np.where(
-            np.asarray(batch.cis_mask)[:, None], _remap_idx(batch.cis_pairs), A2
-        ).astype(np.int32),
-        trans_pairs=np.where(
-            np.asarray(batch.trans_mask)[:, None], _remap_idx(batch.trans_pairs), A2
-        ).astype(np.int32),
+        tet_nbrs=tet_nbrs2,
+        tet_mask=tet_mask2,
+        cis_pairs=cis2,
+        cis_mask=cis_mask2,
+        trans_pairs=trans2,
+        trans_mask=trans_mask2,
         bin_adj=adj,
         pool_mat=pool,
-        # the remap is monotonic on real atoms, so dst-major order survives
+        # dst-major order survives both plans: in-order packing remaps
+        # real atoms monotonically, and the size-sorted plan regroups
+        # whole molecules into packed order (within-molecule dst order
+        # preserved), so dst stays non-decreasing over the real edges
         edges_dst_sorted=batch.edges_dst_sorted,
         fused_fwd=None,
         fused_bwd=None,

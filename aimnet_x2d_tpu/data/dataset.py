@@ -184,12 +184,21 @@ class BatchLoader:
         bin_ab: int = 256,
         bin_mb: int = 48,
         slim_edges: "bool | None" = None,
+        size_sort: "bool | None" = None,
     ):
         if edge_shards > 1 and halo_shards > 1:
             raise ValueError("edge_shards and halo_shards are exclusive graph-axis modes")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
+        # Size-descending bin packing (binning.plan_bins_sorted): tighter
+        # fill on real size mixes.  TRAINING loaders only — a shuffled
+        # loader's batch is an order-free molecule set, while eval /
+        # inference output rows must stay aligned with input order.
+        # AIMNET_SIZE_SORT=0 opts out.
+        if size_sort is None:
+            size_sort = shuffle and os.environ.get("AIMNET_SIZE_SORT", "1") != "0"
+        self.size_sort = bool(size_sort)
         self.seed = seed
         self.fixed_shape = fixed_shape
         self.drop_last = drop_last
@@ -366,6 +375,8 @@ class BatchLoader:
                 # under-count bins and re-trigger the pin-growth recompile
                 # this warm-up exists to prevent
                 cap = adaptive_mb_cap(sizes, self.bin_ab, self.bin_mb)
+                if self.size_sort:  # packer plans size-descending
+                    sizes = -np.sort(-sizes)
                 nb, mbeff = plan_bin_counts(sizes, self.bin_ab, cap)
                 bins = max(bins, bucket_size(nb, align=8))
                 mb = max(mb, bucket_size(mbeff, align=8))
@@ -450,6 +461,7 @@ class BatchLoader:
                 pair_slots=p_slots,
                 pins=self._bin_pins,
                 scratch=scratch,
+                size_sort=self.size_sort,
             )
         mols = [self.dataset.features[i] for i in idx]
         targets = self.dataset.targets[idx]
@@ -472,7 +484,8 @@ class BatchLoader:
             from .binning import bin_pack_batch
 
             batch = bin_pack_batch(
-                batch, ab=self.bin_ab, mb=self.bin_mb, pins=self._bin_pins
+                batch, ab=self.bin_ab, mb=self.bin_mb, pins=self._bin_pins,
+                size_sort=self.size_sort,
             )
         elif self.fused_edges:
             from .batching import attach_fused_layouts

@@ -773,10 +773,16 @@ class HDF5BatchLoader:
         bin_mb: int = 48,
         slim_edges: "bool | None" = None,
         halo_shards: int = 1,
+        size_sort: "bool | None" = None,
     ):
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
+        # size-descending bin packing for TRAINING loaders (see
+        # BatchLoader.size_sort; AIMNET_SIZE_SORT=0 opts out)
+        if size_sort is None:
+            size_sort = shuffle and os.environ.get("AIMNET_SIZE_SORT", "1") != "0"
+        self.size_sort = bool(size_sort)
         self.seed = seed
         self.drop_last = drop_last
         self.host_id = host_id
@@ -929,6 +935,8 @@ class HDF5BatchLoader:
                 for sub in shards:
                     sizes = sizes_all[sub]
                     cap = adaptive_mb_cap(sizes, self.bin_ab, self.bin_mb)
+                    if self.size_sort:  # packer plans size-descending
+                        sizes = -np.sort(-sizes)
                     nb, mbeff = plan_bin_counts(sizes, self.bin_ab, cap)
                     bins = max(bins, bucket_size(nb, align=8))
                     mbp = max(mbp, bucket_size(mbeff, align=8))
@@ -959,7 +967,8 @@ class HDF5BatchLoader:
             from .binning import bin_pack_batch
 
             batch = bin_pack_batch(
-                batch, ab=self.bin_ab, mb=self.bin_mb, pins=self._bin_pins
+                batch, ab=self.bin_ab, mb=self.bin_mb, pins=self._bin_pins,
+                size_sort=self.size_sort,
             )
         elif self.fused_edges:
             from .batching import attach_fused_layouts
@@ -1143,6 +1152,7 @@ class HDF5BatchLoader:
                 pins=self._bin_pins,
                 scratch=scratch,
                 pins_lock=self._pins_lock,
+                size_sort=self.size_sort,
             )
 
         def _emit_native(cache, targets, idx, scratches):

@@ -349,6 +349,7 @@ def build_binned_batch(
     pins: Optional[dict] = None,
     scratch: Optional[dict] = None,
     pins_lock=None,
+    size_sort: bool = False,
 ) -> MolBatch:
     """Device-ready binned MolBatch for ``indices`` (native fast path).
 
@@ -373,6 +374,14 @@ def build_binned_batch(
         np.asarray(cache.mol_atom_off)[idx + 1] - np.asarray(cache.mol_atom_off)[idx]
     ).astype(np.int64)
     mb_cap = adaptive_mb_cap(sizes, ab, mb_cap)
+    if size_sort:
+        # first-fit-decreasing-style packing (binning.plan_bins_sorted
+        # twin): reorder the whole build by size — training paths only,
+        # where a batch is an order-free set of molecules
+        perm = np.argsort(-sizes, kind="stable")
+        idx = np.ascontiguousarray(idx[perm])
+        sizes = sizes[perm]
+        targets = np.asarray(targets)[perm]
 
     bin_of = np.zeros(n, np.int32)
     local_of = np.zeros(n, np.int32)

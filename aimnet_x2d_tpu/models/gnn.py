@@ -540,30 +540,79 @@ class GNN(nn.Module):
                 base_seed = jax.random.randint(
                     self.make_rng("dropout"), (1,), -(2**31), 2**31 - 1, jnp.int32
                 )
+            # Round-5 fused inject path (ops/bin_inject.py): both
+            # injections + the layer + the residual run as ONE kernel per
+            # layer per direction — the per-stage (D, A) intermediates the
+            # XLA inject path materialized to HBM (the round-4 3.9× gap
+            # to the flagship) never exist.  Only the both-features-on
+            # configuration is fused; others keep the XLA injects.
+            fuse_mode = None
+            if (
+                cfg.use_partial_charges
+                and cfg.use_stereochemistry
+                and batch.pool_mat is not None
+                and stereo_ctx.get("stereo_adj") is not None
+                and cfg.x_other_dim >= 2
+            ):
+                from ..ops.bin_inject import inject_fused_enabled
+
+                fuse_mode = inject_fused_enabled()
             xoT = x_other  # (D, A) feature-major from _proj_rows_t
-            for l, ws in enumerate(ws_layers):
-                if cfg.use_partial_charges:
-                    xoT = self._charge_equilibration_t(batch, xoT)
-                if cfg.use_stereochemistry:
-                    xoT = self._stereochemistry_t(batch, xoT, stereo_proj, stereo_ctx)
-                seed_l = None
-                if base_seed is not None:
-                    seed_l = _layer_drop_seed(base_seed, l)
-                # single chip: no collective to overlap, so the per-bin
-                # aggregation stays in VMEM inside the kernel
-                yT = binned_mp_layer_t(
-                    xoT,
-                    batch.bin_adj,
-                    ws,
-                    act=cfg.activation_type,
-                    num_mlp_layers=cfg.shell_conv_num_mlp_layers,
-                    compute_dtype=dtc,
-                    interpret=ik_mode == "interpret",
-                    dropout=drop_rate,
-                    drop_seed=seed_l,
-                )
-                xoT = yT + xoT.astype(dtc)
-            x_other = xoT
+            if fuse_mode is not None:
+                from ..ops.bin_inject import binned_inject_mp_layer_t
+
+                k_st, b_st = stereo_proj
+                mrow = stereo_ctx["tet_m"]
+                for l, ws in enumerate(ws_layers):
+                    qf = self._charge_rows_t(batch, xoT)
+                    corrT = self._tet_corr_t(
+                        batch, xoT, qf, k_st, stereo_ctx, dtc
+                    )
+                    seed_l = None
+                    if base_seed is not None:
+                        seed_l = _layer_drop_seed(base_seed, l)
+                    xoT = binned_inject_mp_layer_t(
+                        xoT,
+                        qf,
+                        corrT,
+                        mrow,
+                        stereo_ctx["stereo_adj"],
+                        batch.bin_adj,
+                        k_st,
+                        b_st,
+                        ws,
+                        act=cfg.activation_type,
+                        num_mlp_layers=cfg.shell_conv_num_mlp_layers,
+                        compute_dtype=dtc,
+                        interpret=fuse_mode == "interpret",
+                        dropout=drop_rate,
+                        drop_seed=seed_l,
+                    )
+                x_other = xoT
+            else:
+                for l, ws in enumerate(ws_layers):
+                    if cfg.use_partial_charges:
+                        xoT = self._charge_equilibration_t(batch, xoT)
+                    if cfg.use_stereochemistry:
+                        xoT = self._stereochemistry_t(batch, xoT, stereo_proj, stereo_ctx)
+                    seed_l = None
+                    if base_seed is not None:
+                        seed_l = _layer_drop_seed(base_seed, l)
+                    # single chip: no collective to overlap, so the per-bin
+                    # aggregation stays in VMEM inside the kernel
+                    yT = binned_mp_layer_t(
+                        xoT,
+                        batch.bin_adj,
+                        ws,
+                        act=cfg.activation_type,
+                        num_mlp_layers=cfg.shell_conv_num_mlp_layers,
+                        compute_dtype=dtc,
+                        interpret=ik_mode == "interpret",
+                        dropout=drop_rate,
+                        drop_seed=seed_l,
+                    )
+                    xoT = yT + xoT.astype(dtc)
+                x_other = xoT
             if cfg.use_partial_charges and cfg.x_other_dim >= 2:
                 partial_charges = x_other[0, :]
         mp_fused = use_stack or use_halo_stack or use_inject_stack
@@ -868,11 +917,11 @@ class GNN(nn.Module):
         q_new = q + f_new * dQ[batch.atom_mol]
         return jnp.concatenate([q_new, f_new, rest], axis=-1)
 
-    def _charge_equilibration_t(self, batch: MolBatch, xT: jax.Array) -> jax.Array:
-        """Feature-major twin of the binned charge-equilibration branch
-        (Q3; reference gnn.py:622-658): q/f are ROWS 0/1 of xT, so the
-        per-molecule sums touch only (2, A)-scale data plus two small
-        pool-matrix einsums — no (A, D) slicing/concat round-trips."""
+    def _charge_rows_t(self, batch: MolBatch, xT: jax.Array) -> jax.Array:
+        """(2, A) charge-equilibrated q/f rows — the concat-free core of
+        :meth:`_charge_equilibration_t` (Q3; reference gnn.py:622-658).
+        The fused inject kernel (ops/bin_inject.py) overlays these rows
+        in-VMEM instead of materializing a full (D, A) copy."""
         nb, mb, ab = batch.pool_mat.shape
         ohf = batch.pool_mat.astype(jnp.float32)
         q = xT[0:1, :].astype(jnp.float32)
@@ -888,7 +937,16 @@ class GNN(nn.Module):
         q_new = q + f_new * per_atom[1:2]
         # uncovered (padding) atoms: inv_F = 0 ⇒ f_new = 0, q_new = q
         return jnp.concatenate(
-            [q_new.astype(xT.dtype), f_new.astype(xT.dtype), xT[2:]], axis=0
+            [q_new.astype(xT.dtype), f_new.astype(xT.dtype)], axis=0
+        )
+
+    def _charge_equilibration_t(self, batch: MolBatch, xT: jax.Array) -> jax.Array:
+        """Feature-major twin of the binned charge-equilibration branch
+        (Q3; reference gnn.py:622-658): q/f are ROWS 0/1 of xT, so the
+        per-molecule sums touch only (2, A)-scale data plus two small
+        pool-matrix einsums — no (A, D) slicing/concat round-trips."""
+        return jnp.concatenate(
+            [self._charge_rows_t(batch, xT), xT[2:]], axis=0
         )
 
     def _charge_equilibration_t_seg(
@@ -1005,7 +1063,6 @@ class GNN(nn.Module):
         ctx: Dict[str, Any] = {}
         if batch.bin_adj is not None and batch.halo_send_idx is None:
             nb, ab, _ = batch.bin_adj.shape
-            sdt = cdt if cdt is not None else jnp.float32
 
             def _flat(pairs, mask):
                 src, dst = pairs[:, 0], pairs[:, 1]
@@ -1019,14 +1076,18 @@ class GNN(nn.Module):
                 [_flat(batch.cis_pairs, batch.cis_mask),
                  _flat(batch.trans_pairs, batch.trans_mask)]
             )
-            # counts are small integers — exact in bf16, and the half-size
-            # array matters at foundation batch sizes
+            # counts are small signed integers (±8 per stereo bond incl.
+            # the Q7 duplication) — stored int8 like bin_adj (round 5:
+            # halves the adjacency's HBM read per layer; every consumer
+            # casts to the compute dtype at use)
             vals = jnp.concatenate(
-                [jnp.full((batch.cis_pairs.shape[0],), -1.0, sdt),
-                 jnp.full((batch.trans_pairs.shape[0],), 1.0, sdt)]
+                [jnp.full((batch.cis_pairs.shape[0],), -1.0, jnp.float32),
+                 jnp.full((batch.trans_pairs.shape[0],), 1.0, jnp.float32)]
             )
-            ctx["stereo_adj"] = segment_sum(vals, idx, nb * ab * ab).reshape(
-                nb, ab, ab
+            ctx["stereo_adj"] = (
+                segment_sum(vals, idx, nb * ab * ab)
+                .reshape(nb, ab, ab)
+                .astype(jnp.int8)
             )
         nbrs = jnp.clip(batch.tet_nbrs, 0, A - 1)  # (C, 4)
         flat_idx = jnp.where(batch.tet_mask[:, None], batch.tet_nbrs, A).reshape(-1)
@@ -1040,7 +1101,49 @@ class GNN(nn.Module):
         ctx["tet_flat"] = flat_idx
         ctx["tet_nz"] = counts > 0  # (A,)
         ctx["any_tet"] = any_tet
+        # fused-inject column mask: tetT = m·(x'+Δ) with m = tet_nz when
+        # any centers exist, else the identity passthrough (see
+        # ops/bin_inject.py docstring for the exact-algebra split)
+        ctx["tet_m"] = jnp.where(
+            any_tet, (counts > 0).astype(jnp.float32), 1.0
+        )[None, :]
         return ctx
+
+    def _tet_corr_t(self, batch: MolBatch, xoT, qf, stereo_kb, ctx, cdt):
+        """Compact tetrahedral correction for the fused inject kernel:
+        corr = [any_tet]·k2ᵀΔ as a dense (D, A) array built from the
+        (C, 4, D) gather — the polynomial (Q6, reference gnn.py:387-462)
+        runs on C·4 columns only, and its gradient flows through XLA
+        autodiff of this function (the kernel returns dcorr)."""
+        D, A = xoT.shape
+        nbrs = ctx["tet_nbrs"]  # (C, 4) clipped
+        C = nbrs.shape[0]
+        flat_cols = nbrs.reshape(-1)
+        cols = xoT[:, flat_cols]  # (D, C·4)
+        if qf is not None:
+            # the kernel overlays charge-equilibrated rows 0/1; mirror it
+            cols = jnp.concatenate([qf[:, flat_cols], cols[2:]], axis=0)
+        emb_raw = cols.T.reshape(C, 4, D).astype(jnp.float32)
+        mags = jnp.linalg.norm(emb_raw, axis=-1, keepdims=True)
+        emb = emb_raw / jnp.maximum(mags, 1e-8)
+        squares = emb**2
+        s1, s2, s3 = (jnp.roll(squares, -k, axis=1) for k in (1, 2, 3))
+        e1, e2, e3 = (jnp.roll(emb, -k, axis=1) for k in (1, 2, 3))
+        chir = s1 * (e2 - e3) + s2 * (e3 - e1) + s3 * (e1 - e2)
+        chir = chir * jnp.tanh(jnp.mean(mags, axis=1, keepdims=True) / 3.0)
+        chir = jnp.where(batch.tet_mask[:, None, None], chir, 0.0)
+        # Δ rows cast to the compute dtype (the unfused path casts the
+        # scattered Δ before its fp32-accumulated projection), projected
+        # by k2 = rows 2D:3D of the shared stereo kernel, scattered to
+        # neighbor columns
+        k2 = stereo_kb[2 * D :].astype(cdt)
+        cv = jnp.dot(
+            chir.reshape(-1, D).astype(cdt), k2,
+            preferred_element_type=jnp.float32,
+        )  # (C·4, D)
+        corr = segment_sum(cv, ctx["tet_flat"], A)  # (A, D) fp32
+        corr = jnp.where(ctx["any_tet"], corr, 0.0)
+        return corr.T.astype(cdt)
 
     def _stereochemistry(
         self,

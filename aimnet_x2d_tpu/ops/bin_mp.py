@@ -424,6 +424,11 @@ def _lane_spec(r, lanes):
     return pl.BlockSpec((r, lanes), lambda i: (0, i), memory_space=pltpu.VMEM)
 
 
+def _adj_group_spec(G, ab):
+    # grid step i's G-bin slab of a (nb, ab, ab) block-diagonal adjacency
+    return pl.BlockSpec((G, ab, ab), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+
 def _seed_args(seed, dropout):
     if dropout == 0.0:
         return [], []

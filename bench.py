@@ -159,7 +159,11 @@ def measure(num_graphs: int, real_qm9: bool = False):
         # pooling as batched MXU matmuls — the fastest path
         from aimnet_x2d_tpu.data.binning import bin_pack_batch
 
-        batch = bin_pack_batch(batch)
+        # size-descending packing like the training loaders (round 5,
+        # AIMNET_SIZE_SORT default); BENCH_SIZE_SORT=0 restores arrival order
+        batch = bin_pack_batch(
+            batch, size_sort=os.environ.get("BENCH_SIZE_SORT", "1") == "1"
+        )
     elif os.environ.get("BENCH_FUSED", "1") == "1" and jax.default_backend() == "tpu":
         from aimnet_x2d_tpu.data.batching import attach_fused_layouts
 

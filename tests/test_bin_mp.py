@@ -323,3 +323,107 @@ def test_dropout_per_layer_megakernel(binned_batch):
         np.testing.assert_array_equal(det, trn)
     finally:
         os.environ.pop("AIMNET_MP_MEGAKERNEL", None)
+
+
+class TestFusedInject:
+    """Round-5 fused inject kernel (ops/bin_inject.py): charge-eq +
+    stereo + layer + residual as one op must match the round-3/4 XLA
+    inject path (itself parity-proven against the reference semantics)
+    for forward and ALL gradients, on batches WITH real stereo content."""
+
+    @pytest.fixture(scope="class")
+    def stereo_batch(self):
+        flat = make_synthetic_batch(
+            num_graphs=29, mean_atoms=14, num_hops=3, num_tasks=2, seed=11,
+            with_stereo=True,
+        )
+        return bin_pack_batch(flat, ab=64, mb=16)
+
+    def _run_both(self, cfg, batch, grad=True):
+        model = GNN(cfg)
+        os.environ["AIMNET_MP_MEGAKERNEL"] = "interpret"
+        os.environ.pop("AIMNET_INJECT_FUSED", None)
+        try:
+            params = model.init(jax.random.PRNGKey(0), batch)
+
+            def fwd(p):
+                out = model.apply(p, batch)
+                mask = batch.graph_mask
+                return jnp.sum(
+                    jnp.where(
+                        mask[:, None], out.predictions.astype(jnp.float32), 0.0
+                    )
+                    ** 2
+                )
+
+            os.environ["AIMNET_INJECT_FUSED"] = "0"
+            ref = (fwd(params), jax.grad(fwd)(params)) if grad else fwd(params)
+            os.environ["AIMNET_INJECT_FUSED"] = "interpret"
+            got = (fwd(params), jax.grad(fwd)(params)) if grad else fwd(params)
+        finally:
+            os.environ.pop("AIMNET_MP_MEGAKERNEL", None)
+            os.environ.pop("AIMNET_INJECT_FUSED", None)
+        return ref, got
+
+    @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+    def test_forward_and_grads(self, stereo_batch, dtype):
+        cfg = _cfg(
+            use_partial_charges=True, use_stereochemistry=True,
+            compute_dtype=dtype,
+        )
+        (loss_ref, g_ref), (loss_got, g_got) = self._run_both(cfg, stereo_batch)
+        tol = 2e-4 if dtype == "float32" else 4e-2
+        np.testing.assert_allclose(float(loss_got), float(loss_ref), rtol=tol)
+        fr, _ = jax.flatten_util.ravel_pytree(g_ref)
+        fg, _ = jax.flatten_util.ravel_pytree(g_got)
+        fr, fg = np.asarray(fr), np.asarray(fg)
+        scale = np.maximum(np.abs(fr).max(), 1e-6)
+        np.testing.assert_allclose(
+            fg / scale, fr / scale, atol=6e-3 if dtype == "float32" else 4e-2
+        )
+
+    def test_with_dropout_trains(self, stereo_batch):
+        # dropout path: seeds thread through; loss is finite and grads flow
+        cfg = _cfg(
+            use_partial_charges=True, use_stereochemistry=True,
+            shell_conv_dropout=0.1,
+        )
+        model = GNN(cfg)
+        os.environ["AIMNET_MP_MEGAKERNEL"] = "interpret"
+        os.environ["AIMNET_INJECT_FUSED"] = "interpret"
+        try:
+            params = model.init(jax.random.PRNGKey(0), stereo_batch)
+
+            def fwd(p):
+                out = model.apply(
+                    p, stereo_batch, deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(3)},
+                )
+                return jnp.sum(out.predictions.astype(jnp.float32) ** 2)
+
+            loss, grads = jax.value_and_grad(fwd)(params)
+            assert np.isfinite(float(loss))
+            flat, _ = jax.flatten_util.ravel_pytree(grads)
+            assert np.isfinite(np.asarray(flat)).all()
+            assert float(jnp.abs(flat).max()) > 0
+        finally:
+            os.environ.pop("AIMNET_MP_MEGAKERNEL", None)
+            os.environ.pop("AIMNET_INJECT_FUSED", None)
+
+    def test_no_stereo_rows_batch(self, ):
+        # a charges+stereo MODEL on a batch with zero tet/cis/trans rows
+        # (any_tet false) must still agree between paths
+        flat = make_synthetic_batch(
+            num_graphs=17, mean_atoms=12, num_hops=3, num_tasks=2, seed=5,
+            with_stereo=False,
+        )
+        batch = bin_pack_batch(flat, ab=64, mb=16)
+        cfg = _cfg(use_partial_charges=True, use_stereochemistry=True)
+        (loss_ref, g_ref), (loss_got, g_got) = self._run_both(cfg, batch)
+        np.testing.assert_allclose(float(loss_got), float(loss_ref), rtol=2e-4)
+        fr, _ = jax.flatten_util.ravel_pytree(g_ref)
+        fg, _ = jax.flatten_util.ravel_pytree(g_got)
+        scale = np.maximum(np.abs(np.asarray(fr)).max(), 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(fg) / scale, np.asarray(fr) / scale, atol=6e-3
+        )

@@ -178,16 +178,28 @@ def test_native_binned_loader_matches_flat(tmp_path, mem_ds):
     h5 = HDF5MoleculeDataset(path)
 
     flat = HDF5BatchLoader(h5, batch_size=8, shuffle=True, seed=5, binned=False)
-    binned = HDF5BatchLoader(h5, batch_size=8, shuffle=True, seed=5, binned=True)
+    # size_sort=False: exact order comparison (the round-5 default sorts
+    # within a batch by size — set-equality checked separately below)
+    binned = HDF5BatchLoader(
+        h5, batch_size=8, shuffle=True, seed=5, binned=True, size_sort=False
+    )
+    sorted_loader = HDF5BatchLoader(h5, batch_size=8, shuffle=True, seed=5, binned=True)
+    assert sorted_loader.size_sort  # training default
     flat.set_epoch(2)
     binned.set_epoch(2)
-    fb, bb = list(flat), list(binned)
-    for a, b in zip(fb, bb):
+    sorted_loader.set_epoch(2)
+    fb, bb, sb = list(flat), list(binned), list(sorted_loader)
+    for a, b, s in zip(fb, bb, sb):
         assert b.bin_adj is not None and b.pool_mat is not None
         ta = np.asarray(a.targets)[np.asarray(a.graph_mask)]
         tb = np.asarray(b.targets)[np.asarray(b.graph_mask)]
         np.testing.assert_allclose(ta, tb, rtol=1e-6)
         assert int(np.asarray(b.bin_adj).sum()) == int(np.asarray(a.edge_mask).sum())
+        # sorted loader: same molecule SET per batch, permuted within
+        ts = np.asarray(s.targets)[np.asarray(s.graph_mask)]
+        np.testing.assert_allclose(
+            np.sort(ts, axis=0), np.sort(ta, axis=0), rtol=1e-6
+        )
     h5.close()
 
 

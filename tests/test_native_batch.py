@@ -197,3 +197,58 @@ def test_dataset_from_smiles_columnar_batches_equal(monkeypatch):
     assert len(ba) == len(bb)
     for x, y in zip(ba, bb):
         _assert_equal(x, y)
+
+
+@pytest.mark.parametrize("n,seed", [(64, 4), (333, 5)])
+def test_size_sort_exact_equality_vs_python_path(n, seed):
+    """Size-descending packing (round 5): the python packer and the native
+    builder must stay bit-exact on every field, including the regrouped
+    edge/stereo row layouts."""
+    mols, rng = _mols(n, seed)
+    targets = rng.normal(size=(n, 3)).astype(np.float32)
+    flat = collate(mols, targets, num_hops=3)
+    ref = bin_pack_batch(flat, size_sort=True)
+    cache = ColumnarCache.from_features(mols, 3)
+    fast = build_binned_batch(
+        cache,
+        np.arange(n),
+        targets,
+        edge_slots=flat.edge_src.shape[0],
+        tet_slots=flat.tet_nbrs.shape[0],
+        pair_slots=flat.cis_pairs.shape[0],
+        size_sort=True,
+    )
+    _assert_equal(ref, fast)
+
+
+def test_size_sort_model_output_invariant():
+    """Sorted packing must not change the model's loss — a batch is an
+    order-free set of molecules (training-only semantics, PARITY.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from aimnet_x2d_tpu.models import GNN, GNNConfig
+
+    mols, rng = _mols(48, 9)
+    targets = rng.normal(size=(48, 2)).astype(np.float32)
+    flat = collate(mols, targets, num_hops=3)
+    plain = bin_pack_batch(flat)
+    srt = bin_pack_batch(flat, size_sort=True)
+    assert srt.bin_adj.shape[0] <= plain.bin_adj.shape[0]
+    cfg = GNNConfig(
+        hidden_dim=32, output_dim=2, num_shells=3,
+        num_message_passing_layers=2, embedding_dim=8,
+        pooling_type="attention", task_type="multitask",
+        shell_conv_dropout=0.0, ffn_dropout=0.0,
+    )
+    model = GNN(cfg)
+    params = model.init(jax.random.PRNGKey(0), plain)
+
+    def loss(batch):
+        out = model.apply(params, batch)
+        m = batch.graph_mask
+        p = jnp.where(m[:, None], out.predictions, 0.0)
+        t = jnp.where(m[:, None], batch.targets, 0.0)
+        return float(jnp.sum(jnp.abs(p - t)) / m.sum())
+
+    np.testing.assert_allclose(loss(srt), loss(plain), rtol=2e-5)
