@@ -141,6 +141,15 @@ class MolBatch(struct.PyTreeNode):
     bin_adj: "np.ndarray | None" = None
     pool_mat: "np.ndarray | None" = None
 
+    # Per-bin tetrahedral-center table (bins, 4, Tc) int32 for the fused
+    # inject kernel (ops/bin_inject.py): entry [b, k, t] is the bin-LOCAL
+    # atom column of neighbor k of the t-th stereo center packed in bin b,
+    # -1 padding.  A center's four neighbors always share its molecule's
+    # bin, so the Q6 polynomial's gather AND scatter become per-bin
+    # one-hot matmuls.  Built by both binned builders
+    # (binning.tet_bin_tables); None off the binned path.
+    tet_bin: "np.ndarray | None" = None
+
     @property
     def num_atom_slots(self) -> int:
         return self.atom_type.shape[-1]

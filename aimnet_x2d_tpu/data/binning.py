@@ -95,6 +95,40 @@ def plan_bins(mol_sizes: np.ndarray, ab: int, mb: int):
     return bin_of, local, start, b + 1
 
 
+def tet_bin_tables(
+    tet_nbrs: np.ndarray,
+    tet_mask: np.ndarray,
+    nb: int,
+    ab: int,
+    pins: "dict | None" = None,
+    pins_lock=None,
+) -> np.ndarray:
+    """(nb, 4, Tc) int32 per-bin tetrahedral-center table from the FINAL
+    (bin-space) tet rows: entry [b, k, t] = bin-local column of neighbor k
+    of bin b's t-th center, -1 padding.  Shared by both binned builders so
+    their ``tet_bin`` fields stay bit-exact; ``pins['tetb']`` pins Tc
+    across batches (same static-shape contract as bins/mb)."""
+    import contextlib
+
+    rows = np.asarray(tet_nbrs)
+    mask = np.asarray(tet_mask)
+    real = np.nonzero(mask)[0]
+    bins = rows[real, 0] // ab if real.size else np.zeros(0, np.int64)
+    order = np.argsort(bins, kind="stable")
+    real, bins = real[order], bins[order]
+    need = int(np.bincount(bins).max()) if real.size else 1
+    tc = bucket_size(need, align=8)
+    if pins is not None:
+        with pins_lock if pins_lock is not None else contextlib.nullcontext():
+            tc = max(tc, pins.get("tetb", 0))
+            pins["tetb"] = tc
+    out = np.full((nb, 4, tc), -1, np.int32)
+    if real.size:
+        slot = np.arange(real.size) - np.searchsorted(bins, bins)
+        out[bins, :, slot] = rows[real] % ab
+    return out
+
+
 def plan_bin_counts(mol_sizes: np.ndarray, ab: int, mb: int):
     """(num_bins, max_mols_in_one_bin) of :func:`plan_bins`'s greedy
     packing without materializing the per-molecule plan — O(bins · log B)
@@ -124,16 +158,19 @@ def plan_bin_counts(mol_sizes: np.ndarray, ab: int, mb: int):
 
 
 def grow_bins(
-    batch: MolBatch, target_bins: int, target_mb: "int | None" = None
+    batch: MolBatch, target_bins: int, target_mb: "int | None" = None,
+    target_tetb: "int | None" = None,
 ) -> MolBatch:
     """Re-pad an already-binned batch to more bins and/or more molecule
     slots per bin (static-shape repin after a pin grew mid-stack)."""
     nb, ab, _ = batch.bin_adj.shape
     mb_old = batch.pool_mat.shape[1]
     mb = target_mb if target_mb is not None else mb_old
-    if target_bins < nb or mb < mb_old:
+    tetb_old = batch.tet_bin.shape[2] if batch.tet_bin is not None else 0
+    tetb = target_tetb if target_tetb is not None else tetb_old
+    if target_bins < nb or mb < mb_old or tetb < tetb_old:
         raise ValueError("grow_bins cannot shrink")
-    if target_bins == nb and mb == mb_old:
+    if target_bins == nb and mb == mb_old and tetb == tetb_old:
         return batch
     A_old, A_new = nb * ab, target_bins * ab
     B_old, B_new = nb * mb_old, target_bins * mb
@@ -182,6 +219,19 @@ def grow_bins(
             np.pad(np.asarray(batch.pool_mat), ((0, 0), (0, mb - mb_old), (0, 0))),
             target_bins,
             0,
+        ),
+        tet_bin=(
+            None
+            if batch.tet_bin is None
+            else _pad(
+                np.pad(
+                    np.asarray(batch.tet_bin),
+                    ((0, 0), (0, 0), (0, tetb - tetb_old)),
+                    constant_values=-1,
+                ),
+                target_bins,
+                -1,
+            )
         ),
     )
 
@@ -384,6 +434,8 @@ def bin_pack_batch(
         ).astype(np.int32)
         trans_mask2 = np.asarray(batch.trans_mask)
 
+    tet_bin = tet_bin_tables(tet_nbrs2, tet_mask2, nbins_padded, ab, pins=pins)
+
     return dataclasses.replace(
         batch,
         atom_type=_scatter_atoms(np.asarray(batch.atom_type)),
@@ -407,6 +459,7 @@ def bin_pack_batch(
         trans_mask=trans_mask2,
         bin_adj=adj,
         pool_mat=pool,
+        tet_bin=tet_bin,
         # dst-major order survives both plans: in-order packing remaps
         # real atoms monotonically, and the size-sorted plan regroups
         # whole molecules into packed order (within-molecule dst order

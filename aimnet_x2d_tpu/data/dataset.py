@@ -354,9 +354,13 @@ class BatchLoader:
         cache = self.dataset.columnar
         if cache is not None:
             sizes_all = np.diff(cache.mol_atom_off)
+            tets_all = np.diff(cache.mol_tet_off)
         else:
             sizes_all = np.array(
                 [f.num_atoms for f in self.dataset.features], np.int64
+            )
+            tets_all = np.array(
+                [f.tet_nbrs.shape[0] for f in self.dataset.features], np.int64
             )
         bins = self._bin_pins.get("bins", 0)
         mb = self._bin_pins.get("mb", 0)
@@ -382,6 +386,12 @@ class BatchLoader:
                 mb = max(mb, bucket_size(mbeff, align=8))
         self._bin_pins["bins"] = bins
         self._bin_pins["mb"] = mb
+        # per-bin tet-table slot pin: centers per bin <= mols/bin x the
+        # dataset's per-molecule max (sound upper bound, so the seed never
+        # grows mid-run)
+        max_tet = int(tets_all.max()) if tets_all.size else 0
+        tetb = bucket_size(min(self.bin_ab, mb * max_tet) if max_tet else 1, align=8)
+        self._bin_pins["tetb"] = max(tetb, self._bin_pins.get("tetb", 0))
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
@@ -513,10 +523,13 @@ class BatchLoader:
 
         return repin_fused_shards(shards, self._fused_pins)
 
-    def _rebin(self, shard: MolBatch, target_bins: int, target_mb: int) -> MolBatch:
+    def _rebin(
+        self, shard: MolBatch, target_bins: int, target_mb: int,
+        target_tetb: "int | None" = None,
+    ) -> MolBatch:
         from .binning import grow_bins
 
-        return grow_bins(shard, target_bins, target_mb)
+        return grow_bins(shard, target_bins, target_mb, target_tetb)
 
     def __iter__(self) -> Iterator[MolBatch]:
         if self.slim_edges:
@@ -558,10 +571,13 @@ class BatchLoader:
                     # this stack — repin them to the final shared shape
                     tb = self._bin_pins.get("bins", 0)
                     tm = self._bin_pins.get("mb", 0)
+                    tt = self._bin_pins.get("tetb", 0)
                     shards = [
                         s
-                        if s.bin_adj.shape[0] == tb and s.pool_mat.shape[1] == tm
-                        else self._rebin(s, tb, tm)
+                        if s.bin_adj.shape[0] == tb
+                        and s.pool_mat.shape[1] == tm
+                        and (s.tet_bin is None or s.tet_bin.shape[2] == tt)
+                        else self._rebin(s, tb, tm, tt or None)
                         for s in shards
                     ]
                 yield jax.tree_util.tree_map(lambda *xs: np.stack(xs), *shards)

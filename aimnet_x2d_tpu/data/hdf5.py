@@ -944,6 +944,12 @@ class HDF5BatchLoader:
                 break  # deterministic order: every epoch is identical
         self._bin_pins["bins"] = bins
         self._bin_pins["mb"] = mbp
+        # per-bin tet-table slot pin (sound bound: mols/bin x per-mol max)
+        max_tet = int(self.ds.max_tet_per_mol or 0)
+        tetb = bucket_size(
+            min(self.bin_ab, mbp * max_tet) if max_tet else 1, align=8
+        )
+        self._bin_pins["tetb"] = max(tetb, self._bin_pins.get("tetb", 0))
 
     def __len__(self) -> int:
         n = math.ceil(len(self.ds) / self.num_hosts)
@@ -1033,10 +1039,13 @@ class HDF5BatchLoader:
 
             tb = self._bin_pins.get("bins", 0)
             tm = self._bin_pins.get("mb", 0)
+            tt = self._bin_pins.get("tetb", 0)
             shards = [
                 s
-                if s.bin_adj.shape[0] == tb and s.pool_mat.shape[1] == tm
-                else grow_bins(s, tb, tm)
+                if s.bin_adj.shape[0] == tb
+                and s.pool_mat.shape[1] == tm
+                and (s.tet_bin is None or s.tet_bin.shape[2] == tt)
+                else grow_bins(s, tb, tm, tt or None)
                 for s in shards
             ]
         return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *shards)
@@ -1160,10 +1169,15 @@ class HDF5BatchLoader:
                 b = _build(cache, targets, idx, scratches[0])
                 tb = self._bin_pins.get("bins", 0)
                 tm = self._bin_pins.get("mb", 0)
+                tt = self._bin_pins.get("tetb", 0)
                 # a concurrently-built later batch may have grown the pins
                 # after this one planned; repad so shapes stay static
-                if tb and (b.bin_adj.shape[0] != tb or b.pool_mat.shape[1] != tm):
-                    b = grow_bins(b, tb, tm)
+                if tb and (
+                    b.bin_adj.shape[0] != tb
+                    or b.pool_mat.shape[1] != tm
+                    or (b.tet_bin is not None and b.tet_bin.shape[2] != tt)
+                ):
+                    b = grow_bins(b, tb, tm, tt or None)
                 return b
             shards = [
                 _build(
@@ -1176,10 +1190,13 @@ class HDF5BatchLoader:
             ]
             tb = self._bin_pins.get("bins", 0)
             tm = self._bin_pins.get("mb", 0)
+            tt = self._bin_pins.get("tetb", 0)
             shards = [
                 s
-                if s.bin_adj.shape[0] == tb and s.pool_mat.shape[1] == tm
-                else grow_bins(s, tb, tm)
+                if s.bin_adj.shape[0] == tb
+                and s.pool_mat.shape[1] == tm
+                and (s.tet_bin is None or s.tet_bin.shape[2] == tt)
+                else grow_bins(s, tb, tm, tt or None)
                 for s in shards
             ]
             return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *shards)

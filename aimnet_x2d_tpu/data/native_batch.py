@@ -486,6 +486,11 @@ def build_binned_batch(
     tet_mask = np.zeros(tet_slots, bool)
     tet_nbrs[: tet.shape[0]] = tet
     tet_mask[: tet.shape[0]] = True
+    from .binning import tet_bin_tables
+
+    tet_bin = tet_bin_tables(
+        tet_nbrs, tet_mask, nbins_p, ab, pins=pins, pins_lock=pins_lock
+    )
 
     def _pairs(values, offsets):
         arr = _gather_ragged(values, offsets, idx, start_of)
@@ -523,4 +528,5 @@ def build_binned_batch(
         edges_dst_sorted=True,
         bin_adj=adj,
         pool_mat=pool,
+        tet_bin=tet_bin,
     )

@@ -551,6 +551,7 @@ class GNN(nn.Module):
                 cfg.use_partial_charges
                 and cfg.use_stereochemistry
                 and batch.pool_mat is not None
+                and batch.tet_bin is not None
                 and stereo_ctx.get("stereo_adj") is not None
                 and cfg.x_other_dim >= 2
             ):
@@ -562,20 +563,22 @@ class GNN(nn.Module):
                 from ..ops.bin_inject import binned_inject_mp_layer_t
 
                 k_st, b_st = stereo_proj
-                mrow = stereo_ctx["tet_m"]
+                # per-ATOM total-charge map, once per batch (padding 0)
+                tca = jnp.where(
+                    batch.atom_mask,
+                    batch.total_charge[jnp.clip(batch.atom_mol, 0, B - 1)],
+                    0.0,
+                )
                 for l, ws in enumerate(ws_layers):
-                    qf = self._charge_rows_t(batch, xoT)
-                    corrT = self._tet_corr_t(
-                        batch, xoT, qf, k_st, stereo_ctx, dtc
-                    )
                     seed_l = None
                     if base_seed is not None:
                         seed_l = _layer_drop_seed(base_seed, l)
                     xoT = binned_inject_mp_layer_t(
                         xoT,
-                        qf,
-                        corrT,
-                        mrow,
+                        tca,
+                        batch.pool_mat,
+                        batch.tet_bin,
+                        stereo_ctx["any_tet"],
                         stereo_ctx["stereo_adj"],
                         batch.bin_adj,
                         k_st,
@@ -1101,49 +1104,7 @@ class GNN(nn.Module):
         ctx["tet_flat"] = flat_idx
         ctx["tet_nz"] = counts > 0  # (A,)
         ctx["any_tet"] = any_tet
-        # fused-inject column mask: tetT = m·(x'+Δ) with m = tet_nz when
-        # any centers exist, else the identity passthrough (see
-        # ops/bin_inject.py docstring for the exact-algebra split)
-        ctx["tet_m"] = jnp.where(
-            any_tet, (counts > 0).astype(jnp.float32), 1.0
-        )[None, :]
         return ctx
-
-    def _tet_corr_t(self, batch: MolBatch, xoT, qf, stereo_kb, ctx, cdt):
-        """Compact tetrahedral correction for the fused inject kernel:
-        corr = [any_tet]·k2ᵀΔ as a dense (D, A) array built from the
-        (C, 4, D) gather — the polynomial (Q6, reference gnn.py:387-462)
-        runs on C·4 columns only, and its gradient flows through XLA
-        autodiff of this function (the kernel returns dcorr)."""
-        D, A = xoT.shape
-        nbrs = ctx["tet_nbrs"]  # (C, 4) clipped
-        C = nbrs.shape[0]
-        flat_cols = nbrs.reshape(-1)
-        cols = xoT[:, flat_cols]  # (D, C·4)
-        if qf is not None:
-            # the kernel overlays charge-equilibrated rows 0/1; mirror it
-            cols = jnp.concatenate([qf[:, flat_cols], cols[2:]], axis=0)
-        emb_raw = cols.T.reshape(C, 4, D).astype(jnp.float32)
-        mags = jnp.linalg.norm(emb_raw, axis=-1, keepdims=True)
-        emb = emb_raw / jnp.maximum(mags, 1e-8)
-        squares = emb**2
-        s1, s2, s3 = (jnp.roll(squares, -k, axis=1) for k in (1, 2, 3))
-        e1, e2, e3 = (jnp.roll(emb, -k, axis=1) for k in (1, 2, 3))
-        chir = s1 * (e2 - e3) + s2 * (e3 - e1) + s3 * (e1 - e2)
-        chir = chir * jnp.tanh(jnp.mean(mags, axis=1, keepdims=True) / 3.0)
-        chir = jnp.where(batch.tet_mask[:, None, None], chir, 0.0)
-        # Δ rows cast to the compute dtype (the unfused path casts the
-        # scattered Δ before its fp32-accumulated projection), projected
-        # by k2 = rows 2D:3D of the shared stereo kernel, scattered to
-        # neighbor columns
-        k2 = stereo_kb[2 * D :].astype(cdt)
-        cv = jnp.dot(
-            chir.reshape(-1, D).astype(cdt), k2,
-            preferred_element_type=jnp.float32,
-        )  # (C·4, D)
-        corr = segment_sum(cv, ctx["tet_flat"], A)  # (A, D) fp32
-        corr = jnp.where(ctx["any_tet"], corr, 0.0)
-        return corr.T.astype(cdt)
 
     def _stereochemistry(
         self,

@@ -73,7 +73,18 @@ def main() -> int:
     loader = h5mod.HDF5BatchLoader(
         ds, batch_size=8192, shuffle=True, seed=1, drop_last=True
     )
-    print(f"# dataset: {len(ds)} molecules, binned={loader.binned}")
+    # round-5: exact pin preseeding over the simulated epochs — mid-run
+    # bin-pin growth (a minutes-long remote recompile each) was the
+    # dominant term in the round-4 849.9 ms/step MEAN (BASELINE.md)
+    t0 = time.perf_counter()
+    loader.warm_bin_pins(epochs=8)
+    pins_warm = dict(loader._bin_pins)
+    print(
+        f"# dataset: {len(ds)} molecules, binned={loader.binned}, "
+        f"pins={loader._bin_pins} (warmed over 8 epochs in "
+        f"{time.perf_counter()-t0:.1f}s), "
+        f"builder workers={loader._loader_workers()}"
+    )
 
     # loader-only throughput (no device work)
     t0 = time.perf_counter()
@@ -128,6 +139,7 @@ def main() -> int:
     p90 = float(np.percentile(warm, 90)) * 1e3
     outliers = int(np.sum(warm > 4 * np.median(warm)))
     e2e_rate = 8192 / (med / 1e3)
+    pins_after = dict(loader._bin_pins)
     print(
         f"# train e2e: median {med:.1f} ms/step (p90 {p90:.1f}, "
         f"{outliers} recompile outliers of {len(warm)}) at 8192 mols = "
@@ -135,6 +147,10 @@ def main() -> int:
         f"(loader alone {loader_rate:.0f} mol/s -> "
         f"{'loader-bound' if loader_rate < 1.05 * e2e_rate else 'device-bound, loader hidden'}), "
         f"loss={float(loss):.4f}, peak RSS {rss_gb():.2f} GB"
+    )
+    print(
+        f"# pins after run: {pins_after} — "
+        f"{'STABLE (zero mid-run pin recompiles)' if pins_after == pins_warm else 'GREW (pin recompile occurred!)'}"
     )
     return 0
 

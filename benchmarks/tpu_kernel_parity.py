@@ -134,8 +134,11 @@ def check_flagship() -> bool:
 
 
 def check_inject() -> bool:
-    """Charges+stereo (BASELINE.json config 3): the per-layer inject path
-    runs binned_mp_layer_t between feature-major charge/stereo injections."""
+    """Charges+stereo (BASELINE.json config 3): the default path is the
+    round-5 fully-fused inject kernel (ops/bin_inject.py — charge-eq,
+    cis/trans, the tetrahedral polynomial, the stereo projection, the
+    layer and the residual in ONE pallas op per layer per direction);
+    compared against the pure-XLA per-layer reference path."""
     import jax
 
     from aimnet_x2d_tpu.data.binning import bin_pack_batch
