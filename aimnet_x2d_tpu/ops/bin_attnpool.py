@@ -228,16 +228,24 @@ def _make_attnpool_op(act_name, dtype_name, interpret, vocab_sizes=None):
     def bwd_kernel(*refs):
         emb_ref, xo_ref, pm_ref = refs[:3]
         ws = refs[3 : 8 + n_bd]
-        gps_ref, gpo_ref, gcov_ref = refs[8 + n_bd : 11 + n_bd]
+        gps_ref, gpo_ref, gcov_ref, attn_ref = refs[8 + n_bd : 12 + n_bd]
         if vocab_sizes:
             (dxo_ref, dbd_ref, dkb_ref, dbb_ref, dks_ref, dko_ref,
-             dsb_ref) = refs[11 + n_bd :]
+             dsb_ref) = refs[12 + n_bd :]
             kb_ref = ws[1]
         else:
             (demb_ref, dxo_ref, dkb_ref, dbb_ref, dks_ref, dko_ref,
-             dsb_ref) = refs[11 + n_bd :]
+             dsb_ref) = refs[12 + n_bd :]
             kb_ref = ws[0]
+        # The forward's attention weights stream back in from HBM (they
+        # are one of its outputs — (H, A) fp32, ~10 MB at the flagship
+        # shape), so the backward never re-runs the VPU-bound masked-max/
+        # exp/denominator chain: round-4 profiling put the attnpool
+        # backward at ~40% of attainable, dominated by exactly that
+        # recompute (BASELINE.md roofline; VERDICT r4 #3).  Values are
+        # bit-identical to a recompute, so numerics are unchanged.
         emb, oh, xo, pm, t, v, s = _common_fwd(emb_ref, xo_ref, pm_ref, ws)
+        attn = attn_ref[...]  # (H, G·ab) fp32
         ks_ref, ko_ref = ws[2 + n_bd], ws[3 + n_bd]
         G, mb, ab = pm.shape
         H = s.shape[0]
@@ -246,8 +254,8 @@ def _make_attnpool_op(act_name, dtype_name, interpret, vocab_sizes=None):
         gcov = gcov_ref[...]  # (1, G·mb) fp32
         dv_parts, dxo_parts, ds_parts = [], [], []
         for g in range(G):
-            s_g = jax.lax.slice_in_dim(s, g * ab, (g + 1) * ab, axis=1)
-            attn_g, pmf, _ = _softmax_bin(s_g, pm[g])
+            attn_g = jax.lax.slice_in_dim(attn, g * ab, (g + 1) * ab, axis=1)
+            pmf = pm[g].astype(jnp.float32)
             wbar = jnp.mean(attn_g, axis=0, keepdims=True)  # (1, ab)
             v_g = jax.lax.slice_in_dim(v, g * ab, (g + 1) * ab, axis=1)
             xo_g = jax.lax.slice_in_dim(xo, g * ab, (g + 1) * ab, axis=1)
@@ -377,7 +385,7 @@ def _make_attnpool_op(act_name, dtype_name, interpret, vocab_sizes=None):
             interpret=interpret,
         )(emb, xo, pm, *ws)
 
-    def backward_call(emb, xo, pm, ws_f32, gps, gpo, gcov):
+    def backward_call(emb, xo, pm, ws_f32, gps, gpo, gcov, attn):
         e_in, A, do, ds, h = _dims(emb, xo, ws_f32)
         nb, mb, ab = pm.shape
         G = _pick_group(nb, mb, ab, interpret, bwd=True)
@@ -404,6 +412,7 @@ def _make_attnpool_op(act_name, dtype_name, interpret, vocab_sizes=None):
                 _lanes(e_in, G * ab), _lanes(do, G * ab), _pm_spec(G, mb, ab),
                 *weight_specs,
                 _lanes(ds, G * mb), _lanes(do, G * mb), _lanes(1, G * mb),
+                _lanes(h, G * ab),
             ],
             out_specs=[
                 *dx_specs,
@@ -420,7 +429,7 @@ def _make_attnpool_op(act_name, dtype_name, interpret, vocab_sizes=None):
                 jax.ShapeDtypeStruct((h, 1), jnp.float32),
             ],
             interpret=interpret,
-        )(emb, xo, pm, *ws, gps, gpo, gcov)
+        )(emb, xo, pm, *ws, gps, gpo, gcov, attn)
         return outs
 
     @jax.custom_vjp
@@ -428,12 +437,15 @@ def _make_attnpool_op(act_name, dtype_name, interpret, vocab_sizes=None):
         return forward(emb, xo, pm, *ws_f32)
 
     def op_fwd(emb, xo, pm, *ws_f32):
-        return forward(emb, xo, pm, *ws_f32), (emb, xo, pm, ws_f32)
+        outs = forward(emb, xo, pm, *ws_f32)
+        # the attn output rides along as a residual: the backward reads
+        # it back instead of recomputing the softmax chain in VMEM
+        return outs, (emb, xo, pm, ws_f32, outs[3])
 
     def op_bwd(res, g):
-        emb, xo, pm, ws_f32 = res
+        emb, xo, pm, ws_f32, attn = res
         gps, gpo, gcov, _gattn = g  # attn is stop-gradient'd by the wrapper
-        outs = backward_call(emb, xo, pm, ws_f32, gps, gpo, gcov)
+        outs = backward_call(emb, xo, pm, ws_f32, gps, gpo, gcov, attn)
         if vocab_sizes:
             dxo, dbd, dkb, dbb, dks, dko, dsb = outs
             return (None, dxo, None, dbd, dkb, dbb.reshape(-1), dks, dko,
