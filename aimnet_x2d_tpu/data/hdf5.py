@@ -1082,15 +1082,19 @@ class HDF5BatchLoader:
 
     def _loader_workers(self) -> int:
         """Concurrent native-builder threads (``AIMNET_LOADER_WORKERS``
-        overrides; default 2 when the host has ≥2 cores).  The C fill
-        releases the GIL through ctypes, so two builds run truly in
-        parallel — the round-4 config-4 measurement (BASELINE.md) put the
-        single-threaded build at 103 ms/batch against a ~15 ms device
-        step (VERDICT r4 #5)."""
+        overrides).  The C fill releases the GIL through ctypes, but on
+        the 2-core bench image two workers MEASURED 13% slower than one
+        (107.7 vs 94.9 ms/batch at 8192 molecules — the GIL-held numpy
+        tail and the memset-heavy fill leave no spare core or memory
+        bandwidth), so the default threads only when the host has cores
+        to spare beyond the consumer + device-dispatch threads."""
         import os as _os
 
         env = int(os.environ.get("AIMNET_LOADER_WORKERS", "0") or 0)
-        return env if env > 0 else min(2, _os.cpu_count() or 1)
+        if env > 0:
+            return env
+        cores = _os.cpu_count() or 1
+        return 2 if cores >= 4 else 1
 
     def _iter_native(self) -> Iterator[MolBatch]:
         """Block reads straight into ColumnarCaches consumed by the native
